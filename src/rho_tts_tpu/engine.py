@@ -1,0 +1,895 @@
+"""BaseTTS: the generation engine / orchestrator.
+
+Host-side state machine around the compiled TPU compute path.  Providers
+subclass this and implement ``_generate_audio`` (+ ``sample_rate``); the
+engine owns text preprocessing, segmentation, the validation retry loops,
+on-device DSP joining, saving, the async wrapper and the streaming API.
+
+Architectural differences vs the reference (``src/rho_tts/base_tts.py``),
+on purpose, for TPUs:
+
+* Waveforms are JAX arrays and stay device-resident through DSP and
+  validation — there is no temp-WAV disk round-trip inside the retry loop
+  (reference ``base_tts.py:821-827`` writes a temp file per iteration).
+  Validators receive in-memory (audio, sample_rate).
+* Randomness is dual-tracked: Python/numpy seeds for host code plus a JAX
+  PRNG key chain (providers consume keys via :meth:`next_rng`); compiled
+  sampling loops take the key as an argument so retries reuse the same
+  compiled program.
+* Cooperative cancellation is checked at host sync points (between text
+  items, segments, and validation iterations) — compiled code cannot
+  observe Python state mid-`scan`; providers additionally check between
+  decode chunks.
+* Smart segmentation introspects TPU HBM (``device.memory_stats()``)
+  rather than CUDA VRAM.
+
+Public semantics parity with reference ``base_tts.py``: generate :960-1101,
+_run_pipeline :708-956, stream :1132-1190, async_generate :1105-1128.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import random
+import tempfile
+import time
+import traceback
+import uuid
+from abc import ABC, abstractmethod
+from typing import Callable, Dict, Generator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from . import audio_io, textproc
+from .cancellation import CancellationToken, CancelledException
+from .exceptions import FormatConversionError
+from .ops import dsp
+from .provider_info import ProviderInfo
+from .result import GenerationResult
+
+logger = logging.getLogger(__name__)
+
+_SUPPORTED_FORMATS = audio_io.SUPPORTED_FORMATS
+
+# Default phonetic mapping — users override via constructor.
+DEFAULT_PHONETIC_MAPPING: Dict[str, str] = {}
+
+# Error substrings that mark a retryable device-memory failure.
+_OOM_MARKERS = ("out of memory", "resource exhausted", "length")
+
+
+class BaseTTS(ABC):
+    """Abstract base class for TTS providers."""
+
+    MAX_MODEL_CHARS = 3000
+    BYTES_PER_CHAR_ESTIMATE = 500_000
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        seed: int = 789,
+        deterministic: bool = False,
+        phonetic_mapping: Optional[Dict[str, str]] = None,
+    ):
+        """
+        Args:
+            device: Device to run the model on ("tpu" or "cpu").
+            seed: Random seed for consistent voice generation.
+            deterministic: If True, request deterministic XLA reductions
+                (slower but reproducible).
+            phonetic_mapping: Custom word-to-pronunciation mapping, e.g.
+                ``{"exocrine": "exo-crene"}``.
+        """
+        self.device = device
+        self.seed = seed
+        self.deterministic = deterministic
+        self.phonetic_mapping = (
+            phonetic_mapping if phonetic_mapping is not None else DEFAULT_PHONETIC_MAPPING.copy()
+        )
+        self._rng_key = None
+        self._set_seeds()
+
+        # Generation parameters (subclasses override as needed)
+        self.max_chars_per_segment = 800
+        self.max_iterations = 1
+
+        # Validation thresholds (subclasses override as needed)
+        self.accent_drift_threshold = 0.17
+        self.text_similarity_threshold = 0.85
+        self.sound_decay_threshold = 0.3
+        self.max_decay_retries = 3
+
+        # Audio segment smoothing parameters
+        self.silence_threshold_db = -50.0
+        self.crossfade_duration_sec = 0.05
+        self.trim_silence = True
+        self.fade_duration_sec = 0.02
+        self.force_sentence_split = True
+        self.inter_sentence_pause_sec = 0.1
+
+        # Voice ID for per-voice classifier model lookup (set by UI state)
+        self.voice_id: Optional[str] = None
+
+        # Custom drift classifier model path (overrides voice_id lookup)
+        self.drift_model_path: Optional[str] = None
+
+        # Auto-sort: copy attempts to good/bad training folders after drift detection
+        self.auto_sort_good_threshold: Optional[float] = None
+        self.auto_sort_bad_threshold: Optional[float] = None
+        self.auto_sort_good_dir: Optional[str] = None
+        self.auto_sort_bad_dir: Optional[str] = None
+
+        # Smart segmentation state
+        self._max_chars_explicit = False
+        self._max_model_chars = self.MAX_MODEL_CHARS
+
+        # Speaker encoder for similarity validation (lazy loaded)
+        self._speaker_encoder = None
+        self.reference_embedding = None
+
+    # -- Context manager protocol -------------------------------------------
+
+    def close(self) -> None:
+        """Release resources (model weights, device buffers). Override."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+        return False
+
+    # -- Provider introspection ---------------------------------------------
+
+    @classmethod
+    def provider_info(cls) -> ProviderInfo:
+        """Return metadata about this provider. Override in subclasses."""
+        return ProviderInfo(name=cls.__name__)
+
+    # -- Randomness ----------------------------------------------------------
+
+    def _set_seeds(self) -> None:
+        """(Re)seed host RNGs and the JAX key chain from ``self.seed``."""
+        random.seed(self.seed)
+        np.random.seed(self.seed % (2**32))
+        try:
+            import jax
+
+            self._rng_key = jax.random.PRNGKey(self.seed)
+        except Exception:  # pragma: no cover — jax always present in practice
+            self._rng_key = None
+
+    def next_rng(self):
+        """Split and return a fresh JAX PRNG key (deterministic per seed)."""
+        import jax
+
+        if self._rng_key is None:
+            self._rng_key = jax.random.PRNGKey(self.seed)
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
+    # -- Speaker encoder (lazy) ---------------------------------------------
+
+    @property
+    def speaker_encoder(self):
+        """Lazy-load the JAX speaker encoder for similarity validation."""
+        if self._speaker_encoder is None:
+            from .models.speaker import SpeakerEncoder
+
+            self._speaker_encoder = SpeakerEncoder()
+        return self._speaker_encoder
+
+    # -- Smart segmentation ---------------------------------------------------
+
+    def _get_available_memory_bytes(self) -> int:
+        """Free accelerator HBM when on TPU, else available host RAM."""
+        if self.device != "cpu":
+            try:
+                import jax
+
+                dev = jax.local_devices()[0]
+                stats = dev.memory_stats()
+                if stats:
+                    limit = stats.get("bytes_limit")
+                    in_use = stats.get("bytes_in_use", 0)
+                    if limit:
+                        return int(limit) - int(in_use)
+            except Exception:
+                pass
+        try:
+            import psutil
+
+            return psutil.virtual_memory().available
+        except ImportError:
+            try:
+                return os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_AVPHYS_PAGES")
+            except (ValueError, OSError):
+                return 8 * 1024**3  # conservative default
+
+    def _compute_max_chars(self) -> int:
+        """Max chars per segment: min(model cap, 80% of free memory), floor 200."""
+        if self._max_chars_explicit:
+            return self.max_chars_per_segment
+
+        model_max = self._max_model_chars
+        bytes_per_char = self.BYTES_PER_CHAR_ESTIMATE
+
+        available = self._get_available_memory_bytes()
+        resource_max = int(available / bytes_per_char) if bytes_per_char > 0 else model_max
+
+        effective = int(min(model_max, resource_max) * 0.8)
+        return max(effective, 200)
+
+    # -- Text preprocessing ---------------------------------------------------
+
+    def _apply_phonetic_mapping(self, text: str) -> str:
+        return textproc.apply_phonetic_mapping(text, self.phonetic_mapping)
+
+    def _split_text_into_segments(self, text: str, max_chars: int) -> List[str]:
+        return textproc.split_text_into_segments(
+            text, max_chars, force_sentence_split=self.force_sentence_split
+        )
+
+    # -- Validation hooks -----------------------------------------------------
+
+    def _validate_accent_drift(self, audio, sample_rate: int) -> tuple:
+        """Accent-drift probability for in-memory audio; (prob, passed)."""
+        if not getattr(self, "voice_cloning", False):
+            return 0.0, True
+        try:
+            from .validation.classifier import predict_accent_drift_probability
+
+            drift_prob = predict_accent_drift_probability(
+                audio,
+                sample_rate=sample_rate,
+                voice_id=self.voice_id,
+                model_path=self.drift_model_path,
+            )
+            if drift_prob is None:
+                logger.warning(
+                    "Accent drift analysis failed (feature extraction error), skipping validation"
+                )
+                return 0.0, True
+            passed = drift_prob < self.accent_drift_threshold
+            logger.info(
+                f"Accent drift likelihood: {drift_prob:.2f} "
+                f"(threshold: {self.accent_drift_threshold:.2f})"
+            )
+            return drift_prob, passed
+        except ImportError:
+            logger.debug("Accent drift classifier not available, skipping validation")
+            return 0.0, True
+
+    def _auto_sort_audio(self, audio, drift_prob: float) -> None:
+        """Save audio to the good/ or bad/ training folder based on drift score."""
+        good_dir = getattr(self, "auto_sort_good_dir", None)
+        bad_dir = getattr(self, "auto_sort_bad_dir", None)
+        good_thresh = getattr(self, "auto_sort_good_threshold", None)
+        bad_thresh = getattr(self, "auto_sort_bad_threshold", None)
+        if good_dir is None and bad_dir is None:
+            return
+        name = f"rho_tts_validate_{uuid.uuid4().hex[:12]}.wav"
+        try:
+            if good_dir and good_thresh is not None and drift_prob < good_thresh:
+                os.makedirs(good_dir, exist_ok=True)
+                dest = os.path.join(good_dir, name)
+                audio_io.save_wav(dest, np.asarray(audio), self.sample_rate)
+                logger.info(f"      Auto-sorted to good: {dest}")
+                return
+            if bad_dir and bad_thresh is not None and drift_prob > bad_thresh:
+                os.makedirs(bad_dir, exist_ok=True)
+                dest = os.path.join(bad_dir, name)
+                audio_io.save_wav(dest, np.asarray(audio), self.sample_rate)
+                logger.info(f"      Auto-sorted to bad: {dest}")
+                return
+            # Middle zone: skip
+        except OSError as e:
+            logger.warning(f"      Auto-sort failed (non-fatal): {e}")
+
+    def _validate_text_match(self, audio, sample_rate: int, expected_text: str) -> tuple:
+        """STT text-match validation; (is_accurate, similarity, transcribed)."""
+        try:
+            from .validation.stt.stt_validator import validate_audio_text_match
+
+            return validate_audio_text_match(
+                (audio, sample_rate), expected_text, self.text_similarity_threshold
+            )
+        except ImportError:
+            logger.debug("STT validator not available, skipping text validation")
+            return True, 1.0, None
+
+    def _log_text_diff(self, expected: str, transcribed: str) -> None:
+        """Log word-level differences between expected and transcribed text."""
+        from difflib import SequenceMatcher
+
+        exp_words = expected.lower().split()
+        trans_words = transcribed.lower().split()
+        sm = SequenceMatcher(None, exp_words, trans_words)
+
+        missing, added, changed = [], [], []
+        for op, i1, i2, j1, j2 in sm.get_opcodes():
+            if op == "delete":
+                missing.extend(exp_words[i1:i2])
+            elif op == "insert":
+                added.extend(trans_words[j1:j2])
+            elif op == "replace":
+                changed.append(
+                    f"'{' '.join(exp_words[i1:i2])}' -> '{' '.join(trans_words[j1:j2])}'"
+                )
+
+        parts = []
+        if missing:
+            parts.append(f"missing: {' '.join(missing)}")
+        if added:
+            parts.append(f"extra: {' '.join(added)}")
+        if changed:
+            parts.append(f"changed: {', '.join(changed)}")
+
+        if parts:
+            logger.warning(f"      Text diff: {'; '.join(parts)}")
+        else:
+            logger.warning("      Text diff: difference is in punctuation/formatting only")
+            logger.warning(f"      Expected: {expected[:80]}")
+            logger.warning(f"      Got:      {transcribed[:80]}")
+
+    def _validate_sound_decay(self, audio) -> tuple:
+        """(ratio, is_ok) where ratio = last-third RMS / first-third RMS."""
+        a = np.asarray(audio)
+        if a.size == 0:
+            return 1.0, True
+        ratio = dsp.sound_decay_ratio(a)
+        threshold = getattr(self, "sound_decay_threshold", 0.3)
+        return ratio, ratio >= threshold
+
+    def _compute_speaker_similarity(self, audio) -> float:
+        """Cosine similarity between generated audio and the reference voice."""
+        generated_embedding = np.asarray(
+            self.speaker_encoder.embed_utterance(np.asarray(audio), self.sample_rate)
+        )
+        reference = np.asarray(self.reference_embedding)
+        return float(
+            np.dot(reference, generated_embedding)
+            / (np.linalg.norm(reference) * np.linalg.norm(generated_embedding))
+        )
+
+    # -- DSP (delegates to ops.dsp) -------------------------------------------
+
+    def _trim_silence(self, audio, from_start: bool = True, from_end: bool = True):
+        return dsp.trim_silence(
+            audio,
+            self.sample_rate,
+            threshold_db=self.silence_threshold_db,
+            from_start=from_start,
+            from_end=from_end,
+            enabled=self.trim_silence,
+        )
+
+    def _remove_dc_offset(self, audio):
+        return dsp.remove_dc_offset(audio)
+
+    def _apply_fades(self, audio, fade_in: bool = True, fade_out: bool = True):
+        return dsp.apply_fades(
+            audio,
+            self.sample_rate,
+            fade_duration_sec=self.fade_duration_sec,
+            fade_in=fade_in,
+            fade_out=fade_out,
+        )
+
+    def _smooth_segment_join(self, audio_segments: List):
+        return dsp.smooth_segment_join(
+            audio_segments,
+            self.sample_rate,
+            crossfade_duration_sec=self.crossfade_duration_sec,
+            inter_sentence_pause_sec=self.inter_sentence_pause_sec,
+            trim=self.trim_silence,
+            silence_threshold_db=self.silence_threshold_db,
+            fade_duration_sec=self.fade_duration_sec,
+        )
+
+    # -- Abstract provider surface --------------------------------------------
+
+    @abstractmethod
+    def _generate_audio(self, text: Union[str, List[str]], **kwargs):
+        """Synthesize raw audio for a text (or list of texts).
+
+        Returns a 1-D float32 waveform array (or list thereof).
+        """
+
+    def _post_process_audio(self, audio):
+        """Provider-specific post-processing before validation (no-op here)."""
+        return audio
+
+    def _free_device_memory(self) -> None:
+        """Best-effort release of dead device buffers after an OOM."""
+        import gc
+
+        gc.collect()
+
+    # -- Speed / pitch post-processing ----------------------------------------
+
+    def _apply_speed_pitch(self, audio, speed: float, pitch_semitones: float):
+        """Apply playback-speed and pitch-shift adjustments on device.
+
+        Parity: reference ``base_tts.py:618-650`` (resample for speed, phase
+        vocoder pitch shift).
+        """
+        from .ops import pitch as pitch_ops
+        from .ops import resample as resample_ops
+
+        if speed != 1.0:
+            audio = resample_ops.resample(
+                audio, int(self.sample_rate * speed), self.sample_rate
+            )
+        if pitch_semitones != 0.0:
+            audio = pitch_ops.pitch_shift(audio, self.sample_rate, pitch_semitones)
+        return audio
+
+    # -- Save helpers ----------------------------------------------------------
+
+    def _save_wav(self, path: str, audio, sample_rate: int) -> None:
+        audio_io.save_wav(path, np.asarray(audio), sample_rate)
+
+    @staticmethod
+    def _convert_format(wav_path: str, target_format: str) -> str:
+        return audio_io.convert_format(wav_path, target_format)
+
+    # -- Core pipeline ---------------------------------------------------------
+
+    def _run_pipeline(
+        self,
+        texts: List[str],
+        cancellation_token: CancellationToken,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ) -> List[Optional[Tuple[object, int, dict]]]:
+        """Phonetic mapping → segmentation → generate/validate → join.
+
+        Returns a list of (audio, segment_count, metadata) per text item,
+        or None for failed items. Semantics parity: reference
+        ``base_tts.py:708-956`` (decay outer loop, per-segment validation
+        loop with best-by-drift tracking and for/else fallback).
+        """
+        token = cancellation_token
+        mapped_texts = [self._apply_phonetic_mapping(t) for t in texts]
+        results: List[Optional[Tuple[object, int, dict]]] = []
+
+        logger.info(f"Generating audio for {len(mapped_texts)} text item(s)...")
+
+        for idx, text in enumerate(mapped_texts):
+            if token.is_cancelled():
+                raise CancelledException(f"Cancelled during text item {idx}")
+
+            effective_max_chars = self._compute_max_chars()
+            segments = self._split_text_into_segments(text, effective_max_chars)
+            logger.info(
+                f"Text item {idx + 1}: {len(text)} chars -> {len(segments)} segment(s)"
+            )
+
+            decay_thresh = self.sound_decay_threshold
+            max_decay_retries = self.max_decay_retries
+            final_audio = None
+            audio_segments: List = []
+            item_drift_scores: List[float] = []
+            item_text_sim_scores: List[float] = []
+            decay_ratio = 0.0
+            is_decay_ok = True
+
+            for decay_attempt in range(max_decay_retries):
+                if decay_attempt > 0:
+                    self.seed = int(time.time() * 1000) % 100000
+                    logger.warning(
+                        f"  Item {idx + 1}: sound decay detected, regenerating all "
+                        f"segments (attempt {decay_attempt + 1}/{max_decay_retries})"
+                    )
+
+                audio_segments = []
+                item_drift_scores = []
+                item_text_sim_scores = []
+                for seg_idx, segment in enumerate(segments):
+                    if token.is_cancelled():
+                        raise CancelledException(
+                            f"Cancelled during segment {seg_idx + 1} of item {idx + 1}"
+                        )
+
+                    logger.info(
+                        f"  Segment {seg_idx + 1}/{len(segments)} ({len(segment)} chars)"
+                    )
+                    if progress_callback:
+                        progress_callback(
+                            f"Generating segment {seg_idx + 1}/{len(segments)}..."
+                        )
+
+                    # --- Retry/validation loop ---
+                    self._set_seeds()
+                    best_audio = None
+                    best_drift = float("inf")
+                    best_text_sim = None
+                    last_audio = None
+
+                    for iteration in range(self.max_iterations):
+                        if token.is_cancelled():
+                            raise CancelledException(
+                                f"Cancelled during iteration {iteration} of "
+                                f"segment {seg_idx + 1}, item {idx + 1}"
+                            )
+
+                        if iteration > 0:
+                            self.seed = int(time.time() * 1000) % 100000
+                            self._set_seeds()
+
+                        logger.info(f"    Iteration {iteration + 1}: seed {self.seed}")
+
+                        try:
+                            audio = self._generate_audio(segment)
+                            last_audio = audio
+                        except ValueError:
+                            raise  # config error — don't retry
+                        except RuntimeError as e:
+                            msg = str(e).lower()
+                            if any(m in msg for m in _OOM_MARKERS):
+                                logger.error(f"    Segment {seg_idx + 1} OOM: {e}")
+                                self._free_device_memory()
+                                continue
+                            raise
+                        except Exception as e:
+                            logger.warning(
+                                f"    Segment {seg_idx + 1}: generation error ({e})"
+                            )
+                            continue
+
+                        # Skip validation when max_iterations == 1
+                        if self.max_iterations == 1:
+                            best_audio = audio
+                            if getattr(self, "auto_sort_good_dir", None) or getattr(
+                                self, "auto_sort_bad_dir", None
+                            ):
+                                # Drift detection just for auto-sort
+                                try:
+                                    drift_prob, _ = self._validate_accent_drift(
+                                        audio, self.sample_rate
+                                    )
+                                    self._auto_sort_audio(audio, drift_prob)
+                                except Exception as e:
+                                    logger.warning(
+                                        f"    Auto-sort drift check failed ({e})"
+                                    )
+                            break
+
+                        try:
+                            drift_prob, is_voice_ok = self._validate_accent_drift(
+                                audio, self.sample_rate
+                            )
+                            self._auto_sort_audio(audio, drift_prob)
+
+                            if drift_prob < best_drift:
+                                best_drift = drift_prob
+                                best_audio = audio
+                                logger.info(f"      New best: drift {best_drift:.3f}")
+
+                            is_text_ok = True
+                            text_sim = 1.0
+
+                            if is_voice_ok:
+                                is_text_ok, text_sim, transcribed = self._validate_text_match(
+                                    audio, self.sample_rate, segment
+                                )
+                                best_text_sim = text_sim
+                                logger.info(
+                                    f"      Text similarity: {text_sim:.3f} "
+                                    f"(threshold: {self.text_similarity_threshold})"
+                                )
+                                if not is_text_ok and transcribed:
+                                    try:
+                                        self._log_text_diff(segment, transcribed)
+                                    except Exception as e:
+                                        logger.debug(f"Could not compute text diff: {e}")
+
+                            if is_voice_ok and is_text_ok:
+                                logger.info(
+                                    f"    Segment {seg_idx + 1} valid after "
+                                    f"{iteration + 1} iteration(s)"
+                                )
+                                best_audio = audio
+                                break
+
+                            reasons = []
+                            if not is_voice_ok:
+                                reasons.append(f"drift={drift_prob:.3f}")
+                            if not is_text_ok:
+                                reasons.append(f"text={text_sim:.3f}")
+                            logger.warning(
+                                f"    Segment {seg_idx + 1} invalid: "
+                                f"{', '.join(reasons)}, retrying "
+                                f"({iteration + 1}/{self.max_iterations})"
+                            )
+                        except Exception as e:
+                            logger.warning(
+                                f"    Segment {seg_idx + 1}: validation error ({e})"
+                            )
+                    else:  # for/else: loop exhausted without a break
+                        if best_audio is not None:
+                            logger.warning(
+                                f"    Segment {seg_idx + 1}: max iterations reached, "
+                                f"returning best (drift={best_drift:.3f})"
+                            )
+                        elif last_audio is not None:
+                            best_audio = last_audio
+                            logger.warning(
+                                f"    Segment {seg_idx + 1}: max iterations reached, "
+                                f"returning last audio"
+                            )
+
+                    if best_audio is not None:
+                        audio_segments.append(best_audio)
+                        if best_drift != float("inf"):
+                            item_drift_scores.append(best_drift)
+                        if best_text_sim is not None:
+                            item_text_sim_scores.append(best_text_sim)
+                    else:
+                        logger.error(f"  Segment {seg_idx + 1} failed to generate")
+
+                if not audio_segments:
+                    break
+
+                final_audio = self._smooth_segment_join(audio_segments)
+
+                if final_audio is None:
+                    break
+
+                try:
+                    final_audio = self._post_process_audio(final_audio)
+                except Exception as e:
+                    logger.warning(
+                        f"  Item {idx + 1}: post-processing failed ({e}), using raw audio"
+                    )
+
+                # Validate sound decay on the full post-processed audio
+                decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
+                logger.info(
+                    f"  Item {idx + 1} sound decay ratio: {decay_ratio:.3f} "
+                    f"(threshold: {decay_thresh})"
+                )
+
+                if is_decay_ok:
+                    break
+            else:
+                if final_audio is not None and not is_decay_ok:
+                    logger.warning(
+                        f"  Item {idx + 1}: sound decay persisted after "
+                        f"{max_decay_retries} attempt(s) "
+                        f"(ratio={decay_ratio:.3f}, threshold={decay_thresh}), "
+                        f"returning best available audio"
+                    )
+
+            if final_audio is None or not audio_segments:
+                logger.error(f"Item {idx + 1} failed: no audio generated")
+                results.append(None)
+                continue
+
+            metadata: dict = {}
+            if item_drift_scores:
+                metadata["drift_prob"] = max(item_drift_scores)
+            if item_text_sim_scores:
+                metadata["text_similarity"] = min(item_text_sim_scores)
+            metadata["decay_ratio"] = decay_ratio
+            results.append((final_audio, len(audio_segments), metadata))
+
+        return results
+
+    # -- Unified generate() ----------------------------------------------------
+
+    def generate(
+        self,
+        texts: Union[str, List[str]],
+        output_path: Optional[str] = None,
+        cancellation_token: Optional[CancellationToken] = None,
+        format: str = "wav",
+        speed: float = 1.0,
+        pitch_semitones: float = 0.0,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ) -> Union[Optional[GenerationResult], Optional[List[Optional[GenerationResult]]]]:
+        """Generate audio from text.
+
+        Accepts a single string or a list of strings. Applies phonetic
+        mapping, splits long texts into segments, generates and validates
+        each segment, and joins segments with crossfading.
+
+        Args:
+            texts: Text to synthesize — a single string or a list.
+            output_path: Single-string mode: exact file path to write.
+                List mode: base path; items saved as ``{output_path}_{idx}.wav``.
+                ``None`` → in-memory only.
+            cancellation_token: Optional token for cooperative cancellation.
+            format: Output format ("wav", "mp3", "flac", "ogg").
+            speed: Playback speed multiplier (1.0 = unchanged).
+            pitch_semitones: Pitch shift in semitones (0.0 = unchanged).
+            progress_callback: Optional callable receiving progress strings.
+
+        Returns:
+            Single mode: ``GenerationResult`` or ``None`` on failure.
+            List mode: list of ``GenerationResult`` (``None`` for failed
+            items), or ``None`` if all items failed.
+        """
+        if format not in _SUPPORTED_FORMATS:
+            raise FormatConversionError(
+                f"Unsupported format '{format}'. "
+                f"Supported: {', '.join(sorted(_SUPPORTED_FORMATS))}"
+            )
+
+        _single_mode = isinstance(texts, str)
+        if _single_mode:
+            texts = [texts]
+
+        try:
+            token = cancellation_token or CancellationToken()
+
+            pipeline_results = self._run_pipeline(texts, token, progress_callback)
+
+            output_results: List[Optional[GenerationResult]] = []
+
+            for idx, pipeline_item in enumerate(pipeline_results):
+                if pipeline_item is None:
+                    output_results.append(None)
+                    continue
+
+                final_audio, segments_count, metadata = pipeline_item
+
+                if speed != 1.0 or pitch_semitones != 0.0:
+                    final_audio = self._apply_speed_pitch(
+                        final_audio, speed, pitch_semitones
+                    )
+
+                num_samples = int(np.asarray(final_audio).reshape(-1).shape[0])
+                duration_sec = num_samples / self.sample_rate
+
+                result = GenerationResult(
+                    audio=final_audio,
+                    sample_rate=self.sample_rate,
+                    duration_sec=duration_sec,
+                    segments_count=segments_count,
+                    format=format,
+                    drift_prob=metadata.get("drift_prob"),
+                    text_similarity=metadata.get("text_similarity"),
+                    decay_ratio=metadata.get("decay_ratio"),
+                )
+
+                if output_path is not None:
+                    try:
+                        item_path = (
+                            output_path if _single_mode else f"{output_path}_{idx}.wav"
+                        )
+                        if format != "wav":
+                            wav_path = (
+                                item_path.rsplit(".", 1)[0] + ".wav"
+                                if "." in item_path
+                                else item_path + ".wav"
+                            )
+                        else:
+                            wav_path = item_path
+
+                        self._save_wav(wav_path, final_audio, self.sample_rate)
+
+                        if format != "wav":
+                            item_path = self._convert_format(wav_path, format)
+
+                        result.path = item_path
+                        logger.info(f"Item {idx + 1} saved: {item_path}")
+                    except FormatConversionError:
+                        raise
+                    except Exception as e:
+                        logger.error(f"Failed to save audio for item {idx}: {e}")
+                        result.path = None
+
+                output_results.append(result)
+
+            successful = sum(1 for r in output_results if r is not None)
+            failed = len(output_results) - successful
+
+            if failed > 0:
+                logger.warning(
+                    f"{failed}/{len(output_results)} text item(s) failed to generate"
+                )
+
+            if successful == 0:
+                logger.error("All text items failed to generate")
+                return None
+
+            logger.info(
+                f"Successfully generated {successful}/{len(output_results)} audio file(s)"
+            )
+
+            if _single_mode:
+                return output_results[0]
+            return output_results
+
+        except CancelledException as e:
+            logger.warning(f"Generation cancelled: {e}")
+            return None
+        except (FormatConversionError, ValueError):
+            raise
+        except Exception as e:
+            logger.error(f"Error in TTS generation: {e}")
+            traceback.print_exc()
+            return None
+
+    # -- Async API -------------------------------------------------------------
+
+    async def async_generate(
+        self,
+        texts: Union[str, List[str]],
+        output_path: Optional[str] = None,
+        cancellation_token: Optional[CancellationToken] = None,
+        format: str = "wav",
+        speed: float = 1.0,
+        pitch_semitones: float = 0.0,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ):
+        """Async wrapper around generate(). Runs inference in a thread executor."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None,
+            lambda: self.generate(
+                texts,
+                output_path=output_path,
+                cancellation_token=cancellation_token,
+                format=format,
+                speed=speed,
+                pitch_semitones=pitch_semitones,
+                progress_callback=progress_callback,
+            ),
+        )
+
+    # -- Streaming API ---------------------------------------------------------
+
+    def stream(
+        self,
+        text: str,
+        cancellation_token: Optional[CancellationToken] = None,
+        speed: float = 1.0,
+        pitch_semitones: float = 0.0,
+    ) -> Generator[GenerationResult, None, None]:
+        """Yield one GenerationResult per text segment as generated.
+
+        Unlike generate(), segments are not crossfaded or validated — each
+        is trimmed/faded and yielded as soon as it's ready.
+        """
+        token = cancellation_token or CancellationToken()
+        mapped_text = self._apply_phonetic_mapping(text)
+        effective_max_chars = self._compute_max_chars()
+        segments = self._split_text_into_segments(mapped_text, effective_max_chars)
+
+        for seg_idx, segment in enumerate(segments):
+            if token.is_cancelled():
+                return
+
+            self._set_seeds()
+            try:
+                raw = self._generate_audio(segment)
+                audio = self._post_process_audio(raw)
+            except Exception as e:
+                logger.warning(f"Segment {seg_idx + 1} failed: {e}")
+                continue
+
+            audio = self._trim_silence(audio, from_start=True, from_end=True)
+            audio = self._remove_dc_offset(audio)
+            audio = self._apply_fades(audio, fade_in=True, fade_out=True)
+
+            if speed != 1.0 or pitch_semitones != 0.0:
+                audio = self._apply_speed_pitch(audio, speed, pitch_semitones)
+
+            num_samples = int(np.asarray(audio).reshape(-1).shape[0])
+
+            yield GenerationResult(
+                audio=audio,
+                sample_rate=self.sample_rate,
+                duration_sec=num_samples / self.sample_rate,
+                segments_count=1,
+                format="wav",
+            )
+
+    @property
+    @abstractmethod
+    def sample_rate(self) -> int:
+        """Sample rate for this TTS implementation."""

@@ -1,0 +1,452 @@
+"""Waveform DSP ops with reference-parity semantics, built on XLA.
+
+Every op here reproduces the numerical behavior of the reference CPU path
+(cited per-function) while staying jit-friendly:
+
+* Fixed-capacity "bucketed" buffers — waveforms are zero-padded up to a
+  bucket multiple and the true length travels as a traced scalar, so XLA
+  compiles one program per bucket instead of one per waveform length.
+* No data-dependent Python control flow inside jitted cores; conditions are
+  ``jnp.where`` selects on scalars.
+* Dynamic-length results are expressed as (buffer, start, end) and sliced on
+  the host boundary.
+
+Reference semantics reproduced from ``src/rho_tts/base_tts.py`` (trim
+:348-392, DC :394-399, fades :401-433, join :435-536, decay :297-323) and
+``src/rho_tts/providers/qwen.py`` (loudness post-process :268-378).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bucket granularity for fixed-shape compilation (samples).
+BUCKET = 16384
+
+
+def bucket_size(n: int) -> int:
+    """Round a sample count up to the bucket granularity."""
+    return max(BUCKET, ((int(n) + BUCKET - 1) // BUCKET) * BUCKET)
+
+
+def _pad_to(audio: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    n = audio.shape[-1]
+    if n == capacity:
+        return audio
+    return jnp.pad(audio, (0, capacity - n))
+
+
+def _as_f32_1d(audio) -> jnp.ndarray:
+    a = jnp.asarray(audio, dtype=jnp.float32)
+    if a.ndim == 2:
+        a = a.reshape(-1) if 1 in a.shape else a.mean(axis=0)
+    return a
+
+
+# ---------------------------------------------------------------------------
+# Silence trimming
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("window", "stride", "capacity"))
+def _trim_bounds_core(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    threshold: jnp.ndarray,
+    window: int,
+    stride: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Windowed-RMS energy scan; returns (first_idx, last_idx, any_nonsilent).
+
+    Matches ``torch.nn.functional.avg_pool1d(x**2, window, stride,
+    padding=window//2)`` (count_include_pad=True) followed by sqrt and a
+    threshold compare: window w averages ``window`` samples of the
+    zero-padded signal starting at ``w*stride - padding``.
+    """
+    padding = window // 2
+    x2 = buf * buf
+    padded = jnp.pad(x2, (padding, window))  # front pad + safety tail
+    n_windows_max = (capacity + 2 * padding - window) // stride + 1
+    # Windowed sums via reduce_window (exact per-window accumulation).
+    sums = jax.lax.reduce_window(
+        padded,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(window,),
+        window_strides=(stride,),
+        padding="valid",
+    )[:n_windows_max]
+    energy = jnp.sqrt(sums / window)
+    n_windows = jnp.maximum((length + 2 * padding - window) // stride + 1, 0)
+    idx = jnp.arange(energy.shape[0])
+    valid = idx < n_windows
+    non_silent = (energy > threshold) & valid
+    any_ns = jnp.any(non_silent)
+    first = jnp.argmax(non_silent)
+    last = energy.shape[0] - 1 - jnp.argmax(non_silent[::-1])
+    return first, last, any_ns
+
+
+def trim_silence(
+    audio,
+    sample_rate: int,
+    threshold_db: float = -50.0,
+    from_start: bool = True,
+    from_end: bool = True,
+    enabled: bool = True,
+):
+    """Trim leading/trailing silence using windowed RMS energy.
+
+    Parity: reference ``base_tts.py:348-392``. Window is 10 ms, stride is
+    half a window, threshold is ``10**(threshold_db/20)``. When everything is
+    below threshold, the first window worth of samples is returned.
+    """
+    a = _as_f32_1d(audio)
+    n = int(a.shape[-1])
+    if not enabled or n == 0:
+        return a
+
+    window = int(sample_rate * 0.01)
+    if window < 2:
+        return a
+    stride = window // 2
+    if stride == 0:
+        return a
+    threshold = 10.0 ** (threshold_db / 20.0)
+
+    capacity = bucket_size(n)
+    buf = _pad_to(a, capacity)
+    first, last, any_ns = _trim_bounds_core(
+        buf,
+        jnp.int32(n),
+        jnp.float32(threshold),
+        window,
+        stride,
+        capacity,
+    )
+    if not bool(any_ns):
+        return a[:window]
+
+    first = int(first)
+    last = int(last)
+    start = (first * window // 2) if from_start else 0
+    end = ((last + 2) * window // 2) if from_end else n
+    start = max(0, min(start, n))
+    end = max(start, min(end, n))
+    return a[start:end]
+
+
+# ---------------------------------------------------------------------------
+# DC offset / fades
+# ---------------------------------------------------------------------------
+
+
+def remove_dc_offset(audio):
+    """Subtract the mean. Parity: reference ``base_tts.py:394-399``."""
+    a = _as_f32_1d(audio)
+    if a.shape[-1] == 0:
+        return a
+    return a - jnp.mean(a)
+
+
+@partial(jax.jit, static_argnames=("fade_samples", "fade_in", "fade_out"))
+def _fades_core(a: jnp.ndarray, fade_samples: int, fade_in: bool, fade_out: bool):
+    n = a.shape[-1]
+    i = jnp.arange(fade_samples, dtype=jnp.float32)
+    # torch.linspace(0, pi, fs)[i] == i * pi / (fs - 1)
+    theta = i * (np.pi / max(fade_samples - 1, 1))
+    if fade_in:
+        curve_in = 0.5 * (1.0 - jnp.cos(theta))
+        a = a.at[:fade_samples].multiply(curve_in)
+    if fade_out:
+        curve_out = 0.5 * (1.0 + jnp.cos(theta))
+        a = a.at[n - fade_samples :].multiply(curve_out)
+    return a
+
+
+def apply_fades(
+    audio,
+    sample_rate: int,
+    fade_duration_sec: float = 0.02,
+    fade_in: bool = True,
+    fade_out: bool = True,
+):
+    """Raised-cosine fade-in/out. Parity: reference ``base_tts.py:401-433``.
+
+    If the waveform is shorter than two fades, it is returned unchanged.
+    """
+    a = _as_f32_1d(audio)
+    n = int(a.shape[-1])
+    if n == 0:
+        return a
+    fade_samples = int(sample_rate * fade_duration_sec)
+    if fade_samples < 1 or n < fade_samples * 2:
+        return a
+    return _fades_core(a, fade_samples, fade_in, fade_out)
+
+
+# ---------------------------------------------------------------------------
+# Equal-power crossfade join
+# ---------------------------------------------------------------------------
+
+
+def _crossfade_pair(prev_tail: jnp.ndarray, curr_head: jnp.ndarray) -> jnp.ndarray:
+    """Equal-power crossfade: prev*cos(0..pi/2) + curr*cos(pi/2..0)."""
+    overlap = prev_tail.shape[-1]
+    i = jnp.arange(overlap, dtype=jnp.float32)
+    theta = i * (np.pi / 2.0 / max(overlap - 1, 1))
+    fade_out = jnp.cos(theta)
+    fade_in = jnp.cos(np.pi / 2.0 - theta)
+    return prev_tail * fade_out + curr_head * fade_in
+
+
+def smooth_segment_join(
+    segments: List,
+    sample_rate: int,
+    crossfade_duration_sec: float = 0.05,
+    inter_sentence_pause_sec: float = 0.1,
+    trim: bool = True,
+    silence_threshold_db: float = -50.0,
+    fade_duration_sec: float = 0.02,
+) -> Optional[jnp.ndarray]:
+    """Join segments with per-segment trimming and equal-power crossfades.
+
+    Parity: reference ``base_tts.py:435-536``. Boundary-position-aware
+    trimming (first segment keeps its onset, last keeps its tail), DC
+    removal per segment, crossfaded overlaps (skipped when the overlap would
+    be <= 10 samples), an inter-sentence pause between interior joins, and a
+    final global fade-in/out.
+    """
+    if len(segments) == 0:
+        return None
+    if len(segments) == 1:
+        a = trim_silence(
+            segments[0], sample_rate, silence_threshold_db, True, True, enabled=trim
+        )
+        a = remove_dc_offset(a)
+        return apply_fades(a, sample_rate, fade_duration_sec, True, True)
+
+    crossfade_samples = int(sample_rate * crossfade_duration_sec)
+
+    processed: List[jnp.ndarray] = []
+    for i, seg in enumerate(segments):
+        if i == 0:
+            t = trim_silence(
+                seg, sample_rate, silence_threshold_db, False, True, enabled=trim
+            )
+        elif i == len(segments) - 1:
+            t = trim_silence(
+                seg, sample_rate, silence_threshold_db, True, False, enabled=trim
+            )
+        else:
+            t = trim_silence(
+                seg, sample_rate, silence_threshold_db, True, True, enabled=trim
+            )
+        processed.append(remove_dc_offset(t))
+
+    parts: List[jnp.ndarray] = []
+    for i, curr in enumerate(processed):
+        if i == 0:
+            if len(processed) > 1 and curr.shape[-1] > crossfade_samples:
+                parts.append(curr[:-crossfade_samples])
+            else:
+                parts.append(curr)
+            continue
+
+        prev = processed[i - 1]
+        overlap = min(crossfade_samples, int(prev.shape[-1]), int(curr.shape[-1]))
+
+        if overlap > 10:
+            parts.append(_crossfade_pair(prev[-overlap:], curr[:overlap]))
+
+            if i < len(processed) - 1:
+                if curr.shape[-1] > (overlap + crossfade_samples):
+                    remaining = curr[overlap:-crossfade_samples]
+                else:
+                    remaining = curr[overlap:]
+            else:
+                remaining = curr[overlap:]
+
+            if remaining.shape[-1] > 0:
+                parts.append(remaining)
+
+            if inter_sentence_pause_sec > 0 and i < len(processed) - 1:
+                pause = jnp.zeros(
+                    int(sample_rate * inter_sentence_pause_sec), dtype=jnp.float32
+                )
+                parts.append(pause)
+        else:
+            parts.append(curr)
+
+    if parts:
+        joined = jnp.concatenate(parts, axis=-1)
+    else:
+        joined = jnp.concatenate([_as_f32_1d(s) for s in segments], axis=-1)
+    return apply_fades(joined, sample_rate, fade_duration_sec, True, True)
+
+
+# ---------------------------------------------------------------------------
+# Sound decay
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _decay_core(a: jnp.ndarray, third: jnp.ndarray):
+    n = a.shape[-1]
+    idx = jnp.arange(n)
+    first_mask = idx < third
+    last_mask = idx >= (n - third)
+    denom = jnp.maximum(third.astype(jnp.float32), 1.0)
+    first_rms = jnp.sqrt(jnp.sum(jnp.where(first_mask, a * a, 0.0)) / denom)
+    last_rms = jnp.sqrt(jnp.sum(jnp.where(last_mask, a * a, 0.0)) / denom)
+    return first_rms, last_rms
+
+
+def sound_decay_ratio(audio) -> float:
+    """RMS of the last third over RMS of the first third.
+
+    Parity: reference ``base_tts.py:297-323``. Returns 1.0 for empty/short
+    audio or a silent opening.
+    """
+    a = _as_f32_1d(audio)
+    n = int(a.shape[-1])
+    third = n // 3
+    if n == 0 or third < 1:
+        return 1.0
+    first_rms, last_rms = _decay_core(a, jnp.int32(third))
+    first_rms = float(first_rms)
+    last_rms = float(last_rms)
+    if first_rms < 1e-8:
+        return 1.0
+    return last_rms / first_rms
+
+
+# ---------------------------------------------------------------------------
+# Loudness post-processing (windowed decay correction + RMS norm + soft clip)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("window_samples", "max_windows", "capacity"))
+def _loudness_core(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    window_samples: int,
+    max_windows: int,
+    capacity: int,
+    target_rms_db: float,
+    max_gain_db: float,
+):
+    """Fused decay-correction + global RMS normalization + tanh soft clip.
+
+    Operates on a zero-padded buffer with ``length`` valid samples; padding
+    stays exactly zero on output.
+    """
+    n_f = length.astype(jnp.float32)
+    valid = jnp.arange(capacity) < length
+    x = jnp.where(valid, buf, 0.0)
+
+    overall_rms = jnp.sqrt(jnp.sum(x * x) / jnp.maximum(n_f, 1.0))
+    silent = overall_rms < 1e-8
+
+    # --- Pass 1: windowed decay correction -------------------------------
+    n_windows = length // window_samples
+    apply_windowed = (length > window_samples * 2) & (n_windows >= 2)
+
+    w = x[: max_windows * window_samples].reshape(max_windows, window_samples)
+    win_idx = jnp.arange(max_windows)
+    win_valid = win_idx < n_windows
+    win_rms = jnp.sqrt(jnp.mean(w * w, axis=1))
+
+    ref_rms = win_rms[0]
+    max_gain_linear = 10.0 ** (max_gain_db / 20.0)
+    gains = jnp.where(
+        win_rms < 1e-8, 1.0, jnp.minimum(ref_rms / jnp.maximum(win_rms, 1e-12), max_gain_linear)
+    )
+    gains = jnp.where(win_valid, gains, 1.0)
+
+    g_valid = jnp.where(win_valid, gains, jnp.nan)
+    gain_range = jnp.nanmax(g_valid) - jnp.nanmin(g_valid)
+
+    apply_windowed = apply_windowed & (ref_rms >= 1e-8) & (gain_range >= 0.05)
+
+    # 3-tap moving average, applied twice; endpoints unchanged; only smooth
+    # across valid windows (interior means index in [1, n_windows-2]).
+    def smooth(g):
+        left = jnp.roll(g, 1)
+        right = jnp.roll(g, -1)
+        avg = (left + g + right) / 3.0
+        interior = (win_idx >= 1) & (win_idx < n_windows - 1)
+        return jnp.where(interior, avg, g)
+
+    sm = smooth(smooth(gains))
+
+    # Linear interpolation of the window-center gain curve to sample level
+    # (np.interp semantics: clamp outside [first_center, last_center]).
+    s = jnp.arange(capacity, dtype=jnp.float32)
+    pos = s / window_samples - 0.5  # fractional window index at each sample
+    pos = jnp.clip(pos, 0.0, jnp.maximum(n_windows.astype(jnp.float32) - 1.0, 0.0))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max_windows - 1)
+    hi = jnp.clip(lo + 1, 0, max_windows - 1)
+    hi = jnp.minimum(hi, jnp.maximum(n_windows - 1, 0))
+    frac = pos - lo.astype(jnp.float32)
+    envelope = sm[lo] * (1.0 - frac) + sm[hi] * frac
+
+    x1 = jnp.where(apply_windowed, x * envelope, x)
+
+    # --- Pass 2: global RMS normalization to target ------------------------
+    rms = jnp.sqrt(jnp.sum(x1 * x1) / jnp.maximum(n_f, 1.0))
+    current_rms_db = 20.0 * jnp.log10(jnp.maximum(rms, 1e-30))
+    gain_db = target_rms_db - current_rms_db
+    gain_linear = 10.0 ** (gain_db / 20.0)
+    x2 = jnp.where(rms > 1e-8, x1 * gain_linear, x1)
+
+    # --- Pass 3: tanh soft clip -------------------------------------------
+    max_amplitude = 0.95
+    x3 = jnp.tanh(x2 / max_amplitude) * max_amplitude
+
+    out = jnp.where(silent, x, x3)
+    return jnp.where(valid, out, 0.0)
+
+
+def loudness_postprocess(
+    audio,
+    sample_rate: int,
+    target_rms_db: float = -23.0,
+    window_sec: float = 2.0,
+    max_gain_db: float = 18.0,
+):
+    """Three-pass loudness normalization with decay correction.
+
+    Parity: reference ``qwen.py:268-378`` — (1) per-2s-window gain envelope
+    (capped at +18 dB, double 3-tap smoothed, linearly interpolated to sample
+    level) correcting volume decay, skipped when the gain spread is < 0.05;
+    (2) global RMS normalization to -23 dBFS; (3) tanh soft clip at 0.95.
+    Silent audio (< 1e-8 RMS) is returned unchanged.
+    """
+    a = _as_f32_1d(audio)
+    n = int(a.shape[-1])
+    if n == 0:
+        return a
+    window_samples = int(sample_rate * window_sec)
+    capacity = bucket_size(n)
+    # max_windows must cover capacity and be >= 1
+    max_windows = max(capacity // window_samples, 1)
+    # Guarantee the reshape in the core covers every valid sample window.
+    capacity = max(capacity, max_windows * window_samples)
+    buf = _pad_to(a, capacity)
+    out = _loudness_core(
+        buf,
+        jnp.int32(n),
+        window_samples,
+        max_windows,
+        int(buf.shape[-1]),
+        float(target_rms_db),
+        float(max_gain_db),
+    )
+    return out[:n]
