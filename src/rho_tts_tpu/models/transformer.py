@@ -1,0 +1,260 @@
+"""Decoder-only transformer core, shared by the codec-LM TTS model families.
+
+Pure-functional: parameters are pytrees of jax arrays (bf16 by default),
+all ops are jit/scan/shard_map friendly. Architecture features:
+
+* grouped-query attention (GQA) with a preallocated static-shape KV cache
+* rotary position embeddings (RoPE)
+* RMSNorm + SwiGLU MLP (Qwen/Llama-family style)
+* f32 attention/softmax accumulation over bf16 weights (MXU-friendly)
+
+The same stack serves prefill (batched full-sequence attention over the
+text + reference prompt) and incremental decode (one token per step inside
+``lax.scan``). Tensor-parallel sharding for the weight tree is defined in
+``rho_tts_tpu.parallel.sharding`` by matching the parameter names used here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    hidden: int = 2048
+    layers: int = 28
+    q_heads: int = 16
+    kv_heads: int = 8
+    head_dim: int = 128
+    ffn: int = 6144
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, in_dim, out_dim, dtype):
+    scale = 1.0 / np.sqrt(in_dim)
+    return (jax.random.normal(key, (in_dim, out_dim), jnp.float32) * scale).astype(dtype)
+
+
+def init_block(key, cfg: TransformerConfig) -> Params:
+    ks = jax.random.split(key, 8)
+    qkv_out = (cfg.q_heads + 2 * cfg.kv_heads) * cfg.head_dim
+    return {
+        "attn_norm": jnp.ones((cfg.hidden,), jnp.float32),
+        "wqkv": _dense_init(ks[0], cfg.hidden, qkv_out, cfg.dtype),
+        "wo": _dense_init(ks[1], cfg.q_heads * cfg.head_dim, cfg.hidden, cfg.dtype),
+        "mlp_norm": jnp.ones((cfg.hidden,), jnp.float32),
+        "w_gate": _dense_init(ks[2], cfg.hidden, cfg.ffn, cfg.dtype),
+        "w_up": _dense_init(ks[3], cfg.hidden, cfg.ffn, cfg.dtype),
+        "w_down": _dense_init(ks[4], cfg.ffn, cfg.hidden, cfg.dtype),
+    }
+
+
+def init_stack(key, cfg: TransformerConfig) -> Params:
+    keys = jax.random.split(key, cfg.layers)
+    blocks = [init_block(k, cfg) for k in keys]
+    # Stack per-layer params along a leading axis so the whole stack is one
+    # pytree of (layers, ...) arrays — scan-over-layers ready.
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {"blocks": stacked, "final_norm": jnp.ones((cfg.hidden,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight).astype(x.dtype)
+
+
+def rope_freqs(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotate pairs (x[..., :d/2], x[..., d/2:]) — Llama/Qwen convention.
+
+    x: (B, T, H, D); positions: (B, T).
+    """
+    d = x.shape[-1]
+    inv = jnp.asarray(rope_freqs(d, theta), jnp.float32)
+    angles = positions[..., None].astype(jnp.float32) * inv  # (B, T, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def _split_qkv(qkv: jnp.ndarray, cfg: TransformerConfig):
+    b, t, _ = qkv.shape
+    q_sz = cfg.q_heads * cfg.head_dim
+    kv_sz = cfg.kv_heads * cfg.head_dim
+    q = qkv[..., :q_sz].reshape(b, t, cfg.q_heads, cfg.head_dim)
+    k = qkv[..., q_sz : q_sz + kv_sz].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    v = qkv[..., q_sz + kv_sz :].reshape(b, t, cfg.kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """(B,Tq,Hq,D) x (B,Tk,Hkv,D) -> (B,Hq,Tq,Tk) with GQA head grouping."""
+    b, tq, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    qg = q.reshape(b, tq, hkv, group, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32), k.astype(jnp.float32))
+    return scores.reshape(b, hkv * group, tq, k.shape[1])
+
+
+def _gqa_mix(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(B,Hq,Tq,Tk) x (B,Tk,Hkv,D) -> (B,Tq,Hq,D)."""
+    b, hq, tq, tk = probs.shape
+    hkv = v.shape[2]
+    group = hq // hkv
+    pg = probs.reshape(b, hkv, group, tq, tk)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", pg, v.astype(jnp.float32))
+    return out.reshape(b, tq, hq, v.shape[3])
+
+
+# ---------------------------------------------------------------------------
+# Block forward (prefill and single-step decode share this path)
+# ---------------------------------------------------------------------------
+
+
+def block_forward(
+    params: Params,
+    cfg: TransformerConfig,
+    x: jnp.ndarray,  # (B, T, hidden)
+    positions: jnp.ndarray,  # (B, T) RoPE positions of the current tokens
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (B, S, Hkv, D) each
+    cache_len: Optional[jnp.ndarray],  # scalar or (B,): cache slots already used
+    attn_mask: Optional[jnp.ndarray],  # (B, T) validity of current tokens
+    key_valid: Optional[jnp.ndarray] = None,  # (B, S) validity of cache slots
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One transformer block. Returns (output, updated_kv).
+
+    With a cache: new K/V are written at slots ``cache_len + arange(T)`` and
+    attention spans the cache (slots gated by ``key_valid``) plus the new
+    tokens, causal in slot order. Prompts are left-padded into the cache so
+    every row's last real token lands on the same slot; ``key_valid`` masks
+    the pad slots. Without a cache: plain causal attention over T.
+    """
+    b, t, _ = x.shape
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+
+    h = rms_norm(x, params["attn_norm"], cfg.rms_eps)
+    qkv = h @ params["wqkv"]
+    q, k, v = _split_qkv(qkv, cfg)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    if kv_cache is not None:
+        ck, cv = kv_cache  # (B, S, Hkv, D)
+        s = ck.shape[1]
+        cache_len_b = jnp.broadcast_to(jnp.asarray(cache_len), (b,))
+        write_pos = cache_len_b[:, None] + jnp.arange(t)[None, :]  # (B, T)
+        bidx = jnp.arange(b)[:, None]
+        ck = ck.at[bidx, write_pos].set(k.astype(ck.dtype))
+        cv = cv.at[bidx, write_pos].set(v.astype(cv.dtype))
+
+        scores = _gqa_scores(q, ck) * scale  # (B, Hq, T, S)
+        key_pos = jnp.arange(s)[None, None, None, :]
+        query_abs = write_pos[:, None, :, None]  # (B,1,T,1)
+        mask = key_pos <= query_abs
+        if key_valid is not None:
+            # Freshly written slots are valid per attn_mask; older slots per
+            # key_valid (the caller updates key_valid once per forward).
+            kv_now = key_valid.at[bidx, write_pos].set(
+                jnp.ones((b, t), bool) if attn_mask is None else attn_mask
+            )
+            mask = mask & kv_now[:, None, None, :]
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = _gqa_mix(probs, cv)  # (B, T, Hq, D)
+        new_cache = (ck, cv)
+    else:
+        scores = _gqa_scores(q, k) * scale  # (B, Hq, T, T)
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        mask = causal
+        if attn_mask is not None:
+            mask = mask & attn_mask[:, None, None, :]
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = _gqa_mix(probs, v)
+        new_cache = (k, v)
+
+    attn = attn.reshape(b, t, cfg.q_heads * cfg.head_dim).astype(x.dtype)
+    x = x + attn @ params["wo"]
+
+    h = rms_norm(x, params["mlp_norm"], cfg.rms_eps)
+    gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32))
+    up = (h @ params["w_up"]).astype(jnp.float32)
+    x = x + ((gate * up).astype(x.dtype) @ params["w_down"])
+    return x, new_cache
+
+
+def stack_forward(
+    params: Params,
+    cfg: TransformerConfig,
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    kv_caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (L,B,S,Hkv,D) x2
+    cache_len: Optional[jnp.ndarray] = None,
+    attn_mask: Optional[jnp.ndarray] = None,
+    key_valid: Optional[jnp.ndarray] = None,
+):
+    """Run the full block stack via scan-over-layers.
+
+    Returns (hidden_states, new_caches) where caches are stacked
+    (layers, B, S, Hkv, D) K and V arrays.
+    """
+    blocks = params["blocks"]
+
+    if kv_caches is None:
+        def body(carry, layer_params):
+            h = carry
+            out, (k, v) = block_forward(
+                layer_params, cfg, h, positions, None, None, attn_mask
+            )
+            return out, (k, v)
+
+        x, (ks, vs) = jax.lax.scan(body, x, blocks)
+    else:
+        ck_all, cv_all = kv_caches
+
+        def body(carry, inp):
+            h = carry
+            layer_params, ck, cv = inp
+            out, (nk, nv) = block_forward(
+                layer_params, cfg, h, positions, (ck, cv), cache_len, attn_mask, key_valid
+            )
+            return out, (nk, nv)
+
+        x, (ks, vs) = jax.lax.scan(body, x, (blocks, ck_all, cv_all))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x, (ks, vs)
+
+
+def make_kv_cache(cfg: TransformerConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,220 @@
+"""Qwen3-TTS-class provider: the default production backend.
+
+Wraps :class:`rho_tts_tpu.models.qwen.QwenTTSModel` (JAX codec-LM with
+lax.scan AR decode) behind the BaseTTS engine. Supports voice cloning with
+Base-model paths (reference audio + transcript) and named speakers with
+CustomVoice-model paths, batch generation, and the 3-pass loudness
+post-processing chain on device.
+
+Capability parity: reference ``src/rho_tts/providers/qwen.py:22-413``
+(constructor surface :48-94, routing :218-266, post-processing :268-378,
+config-driven max-chars refinement :131-139).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ..engine import BaseTTS
+from ..ops import dsp
+from ..provider_info import ProviderInfo, VoiceInfo
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_MODEL = "Qwen/Qwen3-TTS-12Hz-1.7B-Base"
+
+
+class QwenTTS(BaseTTS):
+    """Qwen3-TTS-class implementation with batch processing and validation.
+
+    Args:
+        device: Device to run on ("tpu" or "cpu").
+        seed: Random seed for consistent voice generation.
+        deterministic: Request deterministic XLA reductions.
+        reference_audio: Reference audio path for voice cloning (optional).
+        reference_text: Transcript of the reference audio (required when
+            reference_audio is set).
+        speaker: Named speaker for CustomVoice model paths.
+        language: Synthesis language (default "English").
+        model_path: Local checkpoint dir or model id (size inferred from
+            the name: 0.6B / 1.7B / tiny).
+        max_chars_per_segment: Max characters per text segment
+            (default: auto-computed from free HBM).
+        batch_size: Texts per batched model call (default 5).
+        max_iterations: Validation retry iterations (default 10).
+        accent_drift_threshold: Accent-drift gate (default 0.17).
+        text_similarity_threshold: STT match gate (default 0.85).
+        sound_decay_threshold: Min last/first RMS ratio (default 0.3).
+        drift_model_path: Explicit drift-classifier path (overrides
+            per-voice lookup).
+        phonetic_mapping: Word-to-pronunciation overrides.
+    """
+
+    MAX_MODEL_CHARS = 4000
+    BYTES_PER_CHAR_ESTIMATE = 500_000
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        seed: int = 789,
+        deterministic: bool = False,
+        reference_audio: Optional[str] = None,
+        reference_text: Optional[str] = None,
+        speaker: Optional[str] = None,
+        language: str = "English",
+        model_path: str = DEFAULT_MODEL,
+        max_chars_per_segment: Optional[int] = None,
+        batch_size: int = 5,
+        max_iterations: int = 10,
+        accent_drift_threshold: float = 0.17,
+        text_similarity_threshold: float = 0.85,
+        sound_decay_threshold: float = 0.3,
+        drift_model_path: Optional[str] = None,
+        phonetic_mapping: Optional[Dict[str, str]] = None,
+    ):
+        super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
+
+        if reference_audio is not None and reference_text is None:
+            raise ValueError(
+                "reference_text (transcript of reference audio) is required "
+                "when reference_audio is set"
+            )
+
+        self.reference_audio_path = reference_audio
+        self.reference_text = reference_text
+        self.speaker = speaker
+        self.language = language
+        self.voice_cloning = reference_audio is not None
+        self.model_path = model_path
+        self.drift_model_path = drift_model_path
+
+        self._max_chars_explicit = max_chars_per_segment is not None
+        self.max_chars_per_segment = (
+            max_chars_per_segment if max_chars_per_segment is not None else 1000
+        )
+        self.batch_size = batch_size
+        self.force_sentence_split = False
+        self.max_iterations = max_iterations
+        self.accent_drift_threshold = accent_drift_threshold
+        self.text_similarity_threshold = text_similarity_threshold
+        self.sound_decay_threshold = sound_decay_threshold
+
+        # Model is lazy-loaded on first generation
+        self._model = None
+        self._reference_embedding_initialized = False
+
+    # -- Model management ---------------------------------------------------
+
+    def _load_model(self):
+        if self._model is None:
+            from ..models.qwen import QwenTTSModel
+
+            logger.info("Loading Qwen-TTS model '%s'...", self.model_path)
+            self._model = QwenTTSModel.from_pretrained(self.model_path, seed=self.seed)
+            # Refine max model chars from the checkpoint's context length
+            mpe = self._model.config.max_position_embeddings
+            if mpe:
+                self._max_model_chars = min(self.MAX_MODEL_CHARS, mpe)
+            if self.voice_cloning:
+                self._initialize_reference_embedding()
+        return self._model
+
+    def _initialize_reference_embedding(self):
+        """Compute the reference speaker embedding for similarity checks."""
+        if self._reference_embedding_initialized:
+            return
+        try:
+            from ..audio_io import load_wav
+
+            wav, sr = load_wav(self.reference_audio_path)
+            self.reference_embedding = np.asarray(
+                self.speaker_encoder.embed_utterance(wav, sr)
+            )
+            self._reference_embedding_initialized = True
+            logger.info("Reference voice embedding computed")
+        except Exception as exc:  # noqa: BLE001 — similarity is best-effort
+            logger.warning("Speaker embedding unavailable: %s", exc)
+
+    # -- Generation ----------------------------------------------------------
+
+    def _generate_audio(self, text: Union[str, List[str]], **kwargs):
+        """Route to voice-clone or named-speaker generation.
+
+        Model-path routing parity with the reference: CustomVoice paths
+        require a named speaker; Base paths require reference audio.
+        """
+        model = self._load_model()
+
+        is_single = isinstance(text, str)
+        text_list = [text] if is_single else list(text)
+
+        is_custom_voice = "CustomVoice" in self.model_path
+
+        if is_custom_voice and not self.speaker:
+            raise ValueError(
+                "CustomVoice model requires a named speaker. Select a built-in "
+                "voice (e.g. Vivian, Ryan) or provide reference audio with a "
+                "Base model for voice cloning."
+            )
+        if not is_custom_voice and not self.voice_cloning:
+            raise ValueError(
+                "Qwen Base model requires reference audio for voice cloning. "
+                "Use a CustomVoice model with a named speaker, or provide "
+                "reference audio."
+            )
+
+        waves, _sr = model.synthesize(
+            text_list,
+            speaker=self.speaker if is_custom_voice else None,
+            language=self.language,
+            ref_audio=self.reference_audio_path if not is_custom_voice else None,
+            ref_text=self.reference_text if not is_custom_voice else None,
+            rng=self.next_rng(),
+        )
+        return waves[0] if is_single else waves
+
+    def _post_process_audio(self, audio):
+        """Decay-corrected loudness normalization + soft clip (on device).
+
+        Parity: reference ``qwen.py:268-378``; implemented as the fused
+        :func:`rho_tts_tpu.ops.dsp.loudness_postprocess` XLA program.
+        """
+        return dsp.loudness_postprocess(audio, self.sample_rate)
+
+    def close(self) -> None:
+        """Release model parameters (device HBM)."""
+        self._model = None
+        self._free_device_memory()
+
+    @classmethod
+    def provider_info(cls) -> ProviderInfo:
+        return ProviderInfo(
+            name="qwen",
+            supports_voice_cloning=True,
+            supported_languages=["English", "Chinese", "Japanese", "Korean"],
+            builtin_voices=[
+                VoiceInfo(id=n, name=n, language="English")
+                for n in (
+                    "Chelsie",
+                    "Aidan",
+                    "Vivian",
+                    "Ryan",
+                    "Aria",
+                    "Ethan",
+                    "Luna",
+                    "Harper",
+                    "James",
+                )
+            ],
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        if self._model is not None:
+            return self._model.sample_rate
+        from ..models.qwen.config import resolve_config
+
+        return resolve_config(self.model_path).codec.sample_rate
