@@ -1,0 +1,147 @@
+"""Benchmark: Qwen-class 1.7B voice-clone decode throughput on one chip.
+
+Measures the flagship synthesis path — batched AR codec-token decode
+(batch 5, the reference's default batch size) through the full
+1.7B-architecture talker plus the codec vocoder — and reports RTF
+(audio seconds generated per wall second) per chip.
+
+vs_baseline is relative to the 20x-real-time-per-chip north star
+(BASELINE.md; the reference publishes no numbers of its own).
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Force completion with a host fetch (block_until_ready alone does not
+    block under relay-tunneled PJRT backends)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x if not isinstance(x, (list, tuple)) else x[0]))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    preset = os.environ.get("BENCH_PRESET", "1.7B")
+    batch = int(os.environ.get("BENCH_BATCH", "5"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
+
+    from rho_tts_tpu.models import transformer as tfm
+    from rho_tts_tpu.models.qwen import PRESETS
+    from rho_tts_tpu.models.qwen.model import (
+        CHUNK,
+        _decode_chunk,
+        _prefill,
+        _vocode,
+        init_params,
+    )
+
+    cfg = PRESETS[preset]
+    frame_rate = cfg.codec.frame_rate
+    log(f"bench: preset={preset} batch={batch} prompt={prompt_len} "
+        f"chunks={n_chunks}x{CHUNK} device={jax.devices()[0]}")
+
+    t0 = time.time()
+    params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+    sync(params["lm_head"].astype(jnp.float32))
+    log(f"param init: {time.time() - t0:.1f}s")
+
+    s = prompt_len + n_chunks * CHUNK
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, prompt_len, cfg.talker.hidden), jnp.float32
+    ).astype(cfg.talker.dtype) * 0.02
+    rope_pos = jnp.broadcast_to(jnp.arange(prompt_len), (batch, prompt_len)).astype(jnp.int32)
+    attn_mask = jnp.ones((batch, prompt_len), bool)
+    cache_k, cache_v = tfm.make_kv_cache(cfg.talker, batch, s)
+    key_valid = jnp.zeros((batch, s), bool)
+
+    t0 = time.time()
+    logits, cache_k, cache_v, key_valid = _prefill(
+        params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+    )
+    sync(logits)
+    prefill_compile = time.time() - t0
+    log(f"prefill (compile+run): {prefill_compile:.1f}s")
+
+    rng = jax.random.PRNGKey(2)
+    last_codes = jnp.zeros((batch, cfg.codec.n_codebooks), jnp.int32)
+    done = jnp.zeros((batch,), bool)
+    rope_base = jnp.full((batch,), prompt_len, jnp.int32)
+    temp = jnp.float32(cfg.temperature)
+
+    def run_chunk(state, slot0):
+        cache_k, cache_v, key_valid, last_codes, done, rng = state
+        out = _decode_chunk(
+            params, cfg, cache_k, cache_v, key_valid, jnp.int32(slot0),
+            rope_base + (slot0 - prompt_len), last_codes, done, rng, temp,
+            CHUNK, cfg.top_k,
+        )
+        codes, _dseq, cache_k, cache_v, key_valid, last_codes, done, rng = out
+        return (cache_k, cache_v, key_valid, last_codes, done, rng), codes
+
+    # Warmup chunk (compile)
+    state = (cache_k, cache_v, key_valid, last_codes, done, rng)
+    t0 = time.time()
+    state, codes0 = run_chunk(state, prompt_len)
+    sync(codes0)
+    log(f"decode chunk compile+run: {time.time() - t0:.1f}s")
+
+    # Timed chunks
+    all_codes = [codes0]
+    t0 = time.time()
+    for i in range(1, n_chunks):
+        state, codes = run_chunk(state, prompt_len + i * CHUNK)
+        all_codes.append(codes)
+    sync(all_codes[-1])
+    decode_wall = time.time() - t0
+    timed_steps = (n_chunks - 1) * CHUNK
+    tokens_per_sec = batch * timed_steps / decode_wall
+    log(f"decode: {timed_steps} steps x batch {batch} in {decode_wall:.2f}s "
+        f"→ {tokens_per_sec:.0f} tok/s")
+
+    # Vocoder on the generated frames (warmup then timed)
+    codes_full = jnp.concatenate(all_codes, axis=1)  # (B, T, nq)
+    t0 = time.time()
+    wav = _vocode(params, cfg, codes_full)
+    sync(wav)
+    vocode_first = time.time() - t0
+    t0 = time.time()
+    wav = _vocode(params, cfg, codes_full)
+    sync(wav)
+    vocode_wall = time.time() - t0
+    log(f"vocode: {codes_full.shape[1]} frames x {batch} "
+        f"compile+run {vocode_first:.1f}s, steady {vocode_wall:.3f}s")
+
+    # End-to-end steady-state RTF: audio seconds produced per wall second.
+    total_frames = batch * timed_steps
+    audio_sec = total_frames / frame_rate
+    vocode_share = vocode_wall * (timed_steps / codes_full.shape[1])
+    wall = decode_wall + vocode_share
+    rtf = audio_sec / wall
+    log(f"RTF: {audio_sec:.1f} audio-sec / {wall:.2f} wall-sec = {rtf:.1f}x")
+
+    print(json.dumps({
+        "metric": f"qwen_{preset}_batch{batch}_decode_rtf_per_chip",
+        "value": round(float(rtf), 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(float(rtf) / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

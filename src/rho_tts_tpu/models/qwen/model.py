@@ -245,7 +245,10 @@ class QwenTTSModel:
         self.model_path = model_path or config.name
         self.tokenizer = load_tokenizer(model_path, vocab_size=config.text_vocab)
         if params is None:
-            params = init_params(jax.random.PRNGKey(seed), config)
+            # One fused init program instead of hundreds of tiny dispatches
+            params = jax.jit(init_params, static_argnums=1)(
+                jax.random.PRNGKey(seed), config
+            )
         self.params = params
         self.sample_rate = config.codec.sample_rate
         self._ref_codes_cache: Dict[str, np.ndarray] = {}

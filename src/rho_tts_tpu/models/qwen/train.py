@@ -1,0 +1,117 @@
+"""Training / fine-tuning step for the codec-LM (voice adaptation).
+
+Teacher-forced next-token loss over codec tokens given the text prompt:
+primary codebook through the LM head, residual codebooks through the code
+predictor. Runs under ``jit`` over a (data, model) mesh — parameters carry
+tensor-parallel shardings (see ``parallel.sharding``), batches are
+data-sharded, and XLA inserts the psums.
+
+The reference trains nothing on-accelerator (its only trainer is the
+host-side sklearn drift classifier, SURVEY.md §2 item 7); this module is
+the TPU-native capability extension that voice adaptation requires.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import transformer as tfm
+from .config import QwenTTSConfig
+from .model import init_params
+
+Params = Dict[str, Any]
+
+
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01):
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def init_train_state(cfg: QwenTTSConfig, seed: int = 0, optimizer=None):
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    optimizer = optimizer or make_optimizer()
+    opt_state = optimizer.init(params)
+    return params, opt_state
+
+
+def _forward_loss(params: Params, cfg: QwenTTSConfig, batch: Dict[str, jnp.ndarray]):
+    """Teacher-forced CE loss.
+
+    batch:
+      text_ids:   (B, Tt) int32
+      codes:      (B, Tc, nq) int32 target codec tokens
+      codes_mask: (B, Tc) bool
+    """
+    text_ids = batch["text_ids"]
+    codes = batch["codes"]
+    mask = batch["codes_mask"]
+    b, tt = text_ids.shape
+    tc = codes.shape[1]
+    nq = cfg.codec.n_codebooks
+
+    text_emb = params["text_embed"][text_ids]
+    bos = jnp.broadcast_to(
+        params["audio_embed"][0][cfg.audio_bos][None, None, :], (b, 1, text_emb.shape[-1])
+    )
+    audio_in = 0.0
+    for q in range(nq):
+        audio_in = audio_in + params["audio_embed"][q][codes[:, :-1, q]]
+    embeds = jnp.concatenate([text_emb, bos, audio_in], axis=1)  # (B, Tt+Tc, H)
+    embeds = jax.lax.with_sharding_constraint(
+        embeds, jax.sharding.PartitionSpec("data", None, None)
+    )
+
+    t_total = tt + tc
+    positions = jnp.broadcast_to(jnp.arange(t_total), (b, t_total))
+    h, _ = tfm.stack_forward(params["talker"], cfg.talker, embeds, positions)
+    h_audio = h[:, tt : tt + tc]  # hidden states predicting each code step
+
+    logits = h_audio.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    logits = jax.lax.with_sharding_constraint(
+        logits, jax.sharding.PartitionSpec("data", None, None)
+    )
+    primary_ce = optax.softmax_cross_entropy_with_integer_labels(logits, codes[..., 0])
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum(primary_ce * mask) / denom
+
+    if nq > 1:
+        e0 = params["audio_embed"][0][codes[..., 0]]
+        cp_in = jnp.concatenate([h_audio, e0], axis=-1).astype(
+            params["code_predictor"]["w1"].dtype
+        )
+        hidden = jax.nn.silu(
+            jnp.einsum("btd,qdc->qbtc", cp_in, params["code_predictor"]["w1"]).astype(
+                jnp.float32
+            )
+        )
+        res_logits = jnp.einsum(
+            "qbtc,qce->qbte",
+            hidden.astype(params["code_predictor"]["w2"].dtype),
+            params["code_predictor"]["w2"],
+        ).astype(jnp.float32)
+        for q in range(1, nq):
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                res_logits[q - 1], codes[..., q]
+            )
+            loss = loss + jnp.sum(ce * mask) / denom / (nq - 1)
+
+    return loss
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer"), donate_argnums=(0, 1))
+def train_step(
+    params: Params,
+    opt_state,
+    batch: Dict[str, jnp.ndarray],
+    cfg: QwenTTSConfig,
+    optimizer,
+) -> Tuple[Params, Any, jnp.ndarray]:
+    """One optimizer step; donates params/opt_state buffers."""
+    loss, grads = jax.value_and_grad(_forward_loss)(params, cfg, batch)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

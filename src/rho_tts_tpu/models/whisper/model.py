@@ -1,0 +1,409 @@
+"""Whisper-class speech recognizer in JAX.
+
+Standard Whisper architecture: 80-channel log-mel frontend → two GELU
+convs (stride 1, 2) + sinusoidal positions → pre-norm transformer encoder;
+decoder with learned positions, causal self-attention (KV-cached, scan
+decode) and cross-attention onto the encoder states; logits through the
+tied token embedding. Sizes follow the published tiny/base/small configs;
+weights convert from HF safetensors when a local checkpoint is given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import logging
+import os
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import spectral
+from ...ops.resample import resample
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+N_MELS = 80
+CHUNK_FRAMES = 3000  # 30 s
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = N_MELS
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    heads: int = 6
+    vocab: int = 51865
+    max_target_positions: int = 448
+    # special tokens (multilingual vocab)
+    sot: int = 50258
+    eot: int = 50257
+    lang_en: int = 50259
+    task_transcribe: int = 50359
+    no_timestamps: int = 50363
+
+
+PRESETS = {
+    "tiny": WhisperConfig(),
+    "base": WhisperConfig(d_model=512, encoder_layers=6, decoder_layers=6, heads=8),
+    "test": WhisperConfig(d_model=64, encoder_layers=2, decoder_layers=2, heads=2, vocab=1000,
+                          sot=997, eot=996, lang_en=998, task_transcribe=999, no_timestamps=995,
+                          max_target_positions=64),
+}
+
+
+# ---------------------------------------------------------------------------
+# Frontend
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def log_mel_spectrogram(wav: jnp.ndarray) -> jnp.ndarray:
+    """(S,) 16 kHz waveform → (T, 80) normalized log-mel frames."""
+    window = spectral.hann_window(N_FFT, periodic=True)
+    spec = spectral.stft(wav, N_FFT, HOP, N_FFT, window, center=True, pad_mode="reflect")
+    power = (jnp.abs(spec) ** 2)[:, :-1]  # whisper drops the last frame
+    fb = spectral.mel_filterbank(SAMPLE_RATE, N_FFT, N_MELS, norm_slaney=True)
+    mel = fb @ power
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+    return ((log_spec + 4.0) / 4.0).T  # (T, 80)
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, din, dout):
+    return {
+        "w": (jax.random.normal(key, (din, dout), jnp.float32) / np.sqrt(din)),
+        "b": jnp.zeros((dout,), jnp.float32),
+    }
+
+
+def _ln_init(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _attn_init(key, d):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q": _linear_init(k1, d, d),
+        "k": {"w": _linear_init(k2, d, d)["w"]},  # no bias on K (whisper)
+        "v": _linear_init(k3, d, d),
+        "o": _linear_init(k4, d, d),
+    }
+
+
+def _block_init(key, d, cross: bool):
+    ks = jax.random.split(key, 6)
+    p = {
+        "ln1": _ln_init(d),
+        "attn": _attn_init(ks[0], d),
+        "ln_mlp": _ln_init(d),
+        "mlp1": _linear_init(ks[1], d, 4 * d),
+        "mlp2": _linear_init(ks[2], 4 * d, d),
+    }
+    if cross:
+        p["ln_cross"] = _ln_init(d)
+        p["cross"] = _attn_init(ks[3], d)
+    return p
+
+
+def init_params(key, cfg: WhisperConfig) -> Params:
+    ks = jax.random.split(key, 8 + cfg.encoder_layers + cfg.decoder_layers)
+    d = cfg.d_model
+    params: Params = {
+        "conv1": {
+            "w": jax.random.normal(ks[0], (3, cfg.n_mels, d), jnp.float32) * 0.02,
+            "b": jnp.zeros((d,), jnp.float32),
+        },
+        "conv2": {
+            "w": jax.random.normal(ks[1], (3, d, d), jnp.float32) * 0.02,
+            "b": jnp.zeros((d,), jnp.float32),
+        },
+        "enc_pos": jnp.asarray(_sinusoids(CHUNK_FRAMES // 2, d)),
+        "enc_blocks": [_block_init(k, d, cross=False) for k in ks[2 : 2 + cfg.encoder_layers]],
+        "enc_ln": _ln_init(d),
+        "tok_embed": jax.random.normal(ks[3], (cfg.vocab, d), jnp.float32) * 0.02,
+        "dec_pos": jax.random.normal(ks[4], (cfg.max_target_positions, d), jnp.float32) * 0.01,
+        "dec_blocks": [
+            _block_init(k, d, cross=True)
+            for k in ks[5 : 5 + cfg.decoder_layers]
+        ],
+        "dec_ln": _ln_init(d),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _ln(p, x):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
+
+
+def _heads(x, h):
+    b, t, d = x.shape
+    return x.reshape(b, t, h, d // h)
+
+
+def _attention(p, x, heads, kv=None, mask=None):
+    """Standard MHA; kv=(K,V) overrides self-attention (cross or cache)."""
+    q = _heads(x @ p["q"]["w"] + p["q"]["b"], heads)
+    if kv is None:
+        k = _heads(x @ p["k"]["w"], heads)
+        v = _heads(x @ p["v"]["w"] + p["v"]["b"], heads)
+    else:
+        k, v = kv
+    scale = (q.shape[-1]) ** -0.25
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k * scale)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    b, t, h, dh = out.shape
+    return out.reshape(b, t, h * dh) @ p["o"]["w"] + p["o"]["b"]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(params: Params, cfg: WhisperConfig, mels: jnp.ndarray) -> jnp.ndarray:
+    """mels (B, 3000, 80) → encoder states (B, 1500, d)."""
+    from ...models.qwen.codec import conv1d  # NHC conv helper
+
+    x = jax.nn.gelu(conv1d(mels, params["conv1"]["w"], params["conv1"]["b"]))
+    x = jax.nn.gelu(conv1d(x, params["conv2"]["w"], params["conv2"]["b"], stride=2))
+    x = x + params["enc_pos"][None, : x.shape[1]]
+    for blk in params["enc_blocks"]:
+        x = x + _attention(blk["attn"], _ln(blk["ln1"], x), cfg.heads)
+        h = _ln(blk["ln_mlp"], x)
+        x = x + jax.nn.gelu(h @ blk["mlp1"]["w"] + blk["mlp1"]["b"]) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+    return _ln(params["enc_ln"], x)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+def greedy_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    enc: jnp.ndarray,  # (B, Te, d)
+    prompt: jnp.ndarray,  # (P,) start tokens
+    max_tokens: int,
+):
+    """Greedy decode with KV cache, one fused scan. Returns (B, max_tokens)."""
+    b = enc.shape[0]
+    d = cfg.d_model
+    heads = cfg.heads
+    n_layers = cfg.decoder_layers
+    p_len = prompt.shape[0]
+    s = p_len + max_tokens
+
+    # Precompute cross-attention K/V per layer
+    cross_kv = []
+    for blk in params["dec_blocks"]:
+        ck = _heads(enc @ blk["cross"]["k"]["w"], heads)
+        cv = _heads(enc @ blk["cross"]["v"]["w"] + blk["cross"]["v"]["b"], heads)
+        cross_kv.append((ck, cv))
+
+    cache_k = jnp.zeros((n_layers, b, s, heads, d // heads), jnp.float32)
+    cache_v = jnp.zeros((n_layers, b, s, heads, d // heads), jnp.float32)
+
+    def forward_step(tokens, pos0, cache_k, cache_v, t_len):
+        """tokens (B, T); writes KV at pos0..pos0+T; returns logits last."""
+        t = tokens.shape[1]
+        pos_idx = pos0 + jnp.arange(t)  # gather-based (pos0 may be traced)
+        x = params["tok_embed"][tokens] + params["dec_pos"][pos_idx][None]
+        key_idx = jnp.arange(s)
+        for li, blk in enumerate(params["dec_blocks"]):
+            h = _ln(blk["ln1"], x)
+            q = _heads(h @ blk["attn"]["q"]["w"] + blk["attn"]["q"]["b"], heads)
+            k_new = _heads(h @ blk["attn"]["k"]["w"], heads)
+            v_new = _heads(h @ blk["attn"]["v"]["w"] + blk["attn"]["v"]["b"], heads)
+            cache_k = cache_k.at[li, :, pos_idx].set(jnp.moveaxis(k_new, 1, 0))
+            cache_v = cache_v.at[li, :, pos_idx].set(jnp.moveaxis(v_new, 1, 0))
+            scale = (d // heads) ** -0.25
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, cache_k[li] * scale)
+            causal = key_idx[None, None, None, :] <= (pos0 + jnp.arange(t))[None, None, :, None]
+            scores = jnp.where(causal, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, cache_v[li]).reshape(b, t, d)
+            x = x + attn @ blk["attn"]["o"]["w"] + blk["attn"]["o"]["b"]
+            x = x + _attention(blk["cross"], _ln(blk["ln_cross"], x), heads, kv=cross_kv[li])
+            hm = _ln(blk["ln_mlp"], x)
+            x = x + jax.nn.gelu(hm @ blk["mlp1"]["w"] + blk["mlp1"]["b"]) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+        x = _ln(params["dec_ln"], x)
+        return x[:, -1] @ params["tok_embed"].T, cache_k, cache_v
+
+    # Prompt pass
+    prompt_b = jnp.broadcast_to(prompt[None], (b, p_len))
+    logits, cache_k, cache_v = forward_step(prompt_b, 0, cache_k, cache_v, p_len)
+    first = jnp.argmax(logits, axis=-1)
+
+    def step(carry, t):
+        tok, done, cache_k, cache_v = carry
+        logits, cache_k, cache_v = forward_step(tok[:, None], p_len + t, cache_k, cache_v, 1)
+        nxt = jnp.argmax(logits, axis=-1)
+        nxt = jnp.where(done, cfg.eot, nxt)
+        done = done | (nxt == cfg.eot)
+        return (nxt, done, cache_k, cache_v), tok
+
+    done0 = first == cfg.eot
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (first, done0, cache_k, cache_v), jnp.arange(max_tokens)
+    )
+    return jnp.transpose(toks, (1, 0))  # (B, max_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+
+class WhisperModel:
+    def __init__(self, cfg: WhisperConfig, params: Optional[Params] = None, seed: int = 0):
+        self.cfg = cfg
+        self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), cfg)
+
+    def transcribe_tokens(self, wav: jnp.ndarray, max_tokens: int = 128) -> np.ndarray:
+        """(S,) 16 kHz waveform → token ids (max_tokens,)."""
+        n = CHUNK_FRAMES * HOP
+        wav = jnp.asarray(wav, jnp.float32)[:n]
+        wav = jnp.pad(wav, (0, n - wav.shape[0]))
+        mels = log_mel_spectrogram(wav)[None, :CHUNK_FRAMES]
+        enc = encode(self.params, self.cfg, mels)
+        prompt = jnp.asarray(
+            [self.cfg.sot, self.cfg.lang_en, self.cfg.task_transcribe, self.cfg.no_timestamps],
+            jnp.int32,
+        )
+        toks = greedy_decode(self.params, self.cfg, enc, prompt, max_tokens)
+        return np.asarray(toks[0])
+
+
+class WhisperTranscriber:
+    """Transcription facade with checkpoint + tokenizer management."""
+
+    def __init__(self, model: WhisperModel, tokenizer=None, has_real_weights: bool = False):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.has_real_weights = has_real_weights
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "WhisperTranscriber":
+        cfg = PRESETS.get("tiny")
+        for name in PRESETS:
+            if name in os.path.basename(str(model_path)).lower():
+                cfg = PRESETS[name]
+        params = None
+        tokenizer = None
+        if os.path.isdir(model_path):
+            try:
+                params = _load_hf_checkpoint(model_path, cfg)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("Whisper checkpoint load failed: %s", e)
+            tok_file = os.path.join(model_path, "tokenizer.json")
+            if os.path.exists(tok_file):
+                try:
+                    from tokenizers import Tokenizer
+
+                    tokenizer = Tokenizer.from_file(tok_file)
+                except Exception:  # noqa: BLE001
+                    pass
+        model = WhisperModel(cfg, params=params)
+        return cls(model, tokenizer, has_real_weights=params is not None)
+
+    def transcribe(self, wav, sample_rate: int) -> str:
+        if sample_rate != SAMPLE_RATE:
+            wav = resample(np.asarray(wav, np.float32), sample_rate, SAMPLE_RATE)
+        toks = self.model.transcribe_tokens(jnp.asarray(wav))
+        toks = [int(t) for t in toks if int(t) < self.model.cfg.eot]
+        if self.tokenizer is not None:
+            return self.tokenizer.decode(toks)
+        # Without a tokenizer the ids aren't mappable to text
+        return " ".join(str(t) for t in toks)
+
+
+def _load_hf_checkpoint(model_path: str, cfg: WhisperConfig) -> Optional[Params]:
+    """Convert HF whisper safetensors into this layout."""
+    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if not files:
+        return None
+    from safetensors.numpy import load_file
+
+    t: Dict[str, np.ndarray] = {}
+    for f in files:
+        t.update(load_file(f))
+
+    def g(name):
+        for pfx in ("model.", ""):
+            if pfx + name in t:
+                return t[pfx + name]
+        raise KeyError(name)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # convs: HF (out, in, k) → (k, in, out)
+    params["conv1"] = {"w": jnp.asarray(g("encoder.conv1.weight").transpose(2, 1, 0)),
+                       "b": jnp.asarray(g("encoder.conv1.bias"))}
+    params["conv2"] = {"w": jnp.asarray(g("encoder.conv2.weight").transpose(2, 1, 0)),
+                       "b": jnp.asarray(g("encoder.conv2.bias"))}
+    params["enc_pos"] = jnp.asarray(g("encoder.embed_positions.weight"))
+    params["tok_embed"] = jnp.asarray(g("decoder.embed_tokens.weight"))
+    params["dec_pos"] = jnp.asarray(g("decoder.embed_positions.weight"))
+
+    def attn(prefix, has_cross=False):
+        return {
+            "q": {"w": jnp.asarray(g(f"{prefix}.q_proj.weight").T),
+                  "b": jnp.asarray(g(f"{prefix}.q_proj.bias"))},
+            "k": {"w": jnp.asarray(g(f"{prefix}.k_proj.weight").T)},
+            "v": {"w": jnp.asarray(g(f"{prefix}.v_proj.weight").T),
+                  "b": jnp.asarray(g(f"{prefix}.v_proj.bias"))},
+            "o": {"w": jnp.asarray(g(f"{prefix}.out_proj.weight").T),
+                  "b": jnp.asarray(g(f"{prefix}.out_proj.bias"))},
+        }
+
+    def ln(prefix):
+        return {"g": jnp.asarray(g(f"{prefix}.weight")), "b": jnp.asarray(g(f"{prefix}.bias"))}
+
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}"
+        params["enc_blocks"][i] = {
+            "ln1": ln(f"{p}.self_attn_layer_norm"),
+            "attn": attn(f"{p}.self_attn"),
+            "ln_mlp": ln(f"{p}.final_layer_norm"),
+            "mlp1": {"w": jnp.asarray(g(f"{p}.fc1.weight").T), "b": jnp.asarray(g(f"{p}.fc1.bias"))},
+            "mlp2": {"w": jnp.asarray(g(f"{p}.fc2.weight").T), "b": jnp.asarray(g(f"{p}.fc2.bias"))},
+        }
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}"
+        params["dec_blocks"][i] = {
+            "ln1": ln(f"{p}.self_attn_layer_norm"),
+            "attn": attn(f"{p}.self_attn"),
+            "ln_cross": ln(f"{p}.encoder_attn_layer_norm"),
+            "cross": attn(f"{p}.encoder_attn"),
+            "ln_mlp": ln(f"{p}.final_layer_norm"),
+            "mlp1": {"w": jnp.asarray(g(f"{p}.fc1.weight").T), "b": jnp.asarray(g(f"{p}.fc1.bias"))},
+            "mlp2": {"w": jnp.asarray(g(f"{p}.fc2.weight").T), "b": jnp.asarray(g(f"{p}.fc2.bias"))},
+        }
+    params["enc_ln"] = ln("encoder.layer_norm")
+    params["dec_ln"] = ln("decoder.layer_norm")
+    logger.info("Loaded Whisper weights from %s", model_path)
+    return params

@@ -1,0 +1,10 @@
+"""Device-mesh parallelism: sharding specs and multi-chip execution.
+
+Scale-out rides XLA collectives over ICI via ``jax.sharding`` — there is
+no hand-written communication code. The reference has no distributed layer
+(SURVEY.md §2.3); here batch data-parallelism replaces its ``batch_size``
+loop and tensor-parallelism covers >1-chip model spans.
+"""
+
+from .mesh import create_mesh, default_mesh_shape
+from .sharding import batch_sharding, param_shardings, shard_params
