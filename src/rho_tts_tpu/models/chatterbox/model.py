@@ -1,0 +1,327 @@
+"""Chatterbox-class voice-cloning TTS: CFG-guided AR over speech tokens.
+
+Decode design (TPU-first):
+
+* Conditional and unconditional streams are folded into ONE batch of 2B
+  rows, so classifier-free guidance costs a batch doubling instead of two
+  sequential passes; logits mix as ``w * cond + (1 - w) * uncond``.
+* Voice conditioning: the shared GE2E speaker encoder's embedding is
+  projected into the prompt as a prefix token (reference audio is encoded
+  once and cached — parity with the reference's conditionals cache,
+  ``chatterbox.py:113-121``).
+* The sampling loop is the same chunked ``lax.scan`` pattern as the Qwen
+  family; "faster" mode caps cache length / new tokens
+  (parity: ``chatterbox.py:125-127``).
+* The token→waveform decoder is a single-codebook conv vocoder at 25 Hz
+  frame rate (hop 960 at 24 kHz); output is watermarked on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.tokenizer import load_tokenizer
+from .. import transformer as tfm
+from ..qwen import codec as codec_lib
+from ..qwen.config import CodecConfig
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+
+CHUNK = 64
+PROMPT_BUCKET = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class ChatterboxConfig:
+    name: str = "standard"
+    talker: tfm.TransformerConfig = dataclasses.field(
+        default_factory=lambda: tfm.TransformerConfig(
+            hidden=1024, layers=30, q_heads=16, kv_heads=16, head_dim=64, ffn=4096
+        )
+    )
+    codec: CodecConfig = dataclasses.field(
+        default_factory=lambda: CodecConfig(
+            sample_rate=24000,
+            upsample_rates=(8, 6, 5, 4),  # hop 960 → 25 Hz
+            n_codebooks=1,
+            codebook_size=4096,
+            codebook_dim=512,
+            decoder_channels=(512, 256, 128, 64, 32),
+            encoder_channels=(32, 64, 128, 256, 512),
+        )
+    )
+    text_vocab: int = 2048
+    max_position_embeddings: int = 4096
+    temperature: float = 1.0
+    top_k: int = 50
+    max_cache_len: Optional[int] = None  # "faster" mode sets 1500
+    max_new_tokens: Optional[int] = None  # "faster" mode sets 1000
+
+    @property
+    def speech_vocab(self) -> int:
+        return self.codec.codebook_size + 3
+
+    @property
+    def speech_bos(self) -> int:
+        return self.codec.codebook_size
+
+    @property
+    def speech_eos(self) -> int:
+        return self.codec.codebook_size + 1
+
+    @property
+    def speech_pad(self) -> int:
+        return self.codec.codebook_size + 2
+
+
+PRESETS = {
+    "standard": ChatterboxConfig(),
+    "faster": ChatterboxConfig(name="faster", max_cache_len=1500, max_new_tokens=1000),
+    "tiny": ChatterboxConfig(
+        name="tiny",
+        talker=tfm.TransformerConfig(
+            hidden=64, layers=2, q_heads=4, kv_heads=2, head_dim=16, ffn=128
+        ),
+        codec=CodecConfig(
+            sample_rate=24000,
+            upsample_rates=(4, 2),
+            n_codebooks=1,
+            codebook_size=64,
+            codebook_dim=32,
+            decoder_channels=(32, 16, 8),
+            encoder_channels=(8, 16, 32),
+        ),
+        text_vocab=512,
+        max_position_embeddings=512,
+    ),
+}
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def init_params(key, cfg: ChatterboxConfig) -> Params:
+    kt, ke, ka, kp, kh, kc = jax.random.split(key, 6)
+    t = cfg.talker
+    return {
+        "text_embed": (jax.random.normal(ke, (cfg.text_vocab, t.hidden), jnp.float32) * 0.02).astype(t.dtype),
+        "speech_embed": (jax.random.normal(ka, (cfg.speech_vocab, t.hidden), jnp.float32) * 0.02).astype(t.dtype),
+        "spk_proj": (jax.random.normal(kp, (256, t.hidden), jnp.float32) * 0.05).astype(t.dtype),
+        "talker": tfm.init_stack(kt, t),
+        "lm_head": tfm._dense_init(kh, t.hidden, cfg.speech_vocab, t.dtype),
+        "codec": codec_lib.init_codec(kc, cfg.codec),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill(params, cfg: ChatterboxConfig, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid):
+    b, p, _ = embeds.shape
+    h, (ck, cv) = tfm.stack_forward(
+        params["talker"], cfg.talker, embeds, rope_pos,
+        kv_caches=(cache_k, cache_v), cache_len=jnp.int32(0),
+        attn_mask=attn_mask, key_valid=key_valid, fused_prefill=True,
+    )
+    key_valid = key_valid.at[:, :p].set(attn_mask)
+    logits = h[:, -1].astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    return logits, ck, cv, key_valid
+
+
+def _cfg_sample(logits2b, rng, temperature, top_k, cfg_weight):
+    """logits2b: (2B, V) rows [cond..., uncond...] → sampled (B,) tokens."""
+    b2 = logits2b.shape[0]
+    b = b2 // 2
+    cond, uncond = logits2b[:b], logits2b[b:]
+    mixed = cfg_weight * cond + (1.0 - cfg_weight) * uncond
+    mixed = mixed / jnp.maximum(temperature, 1e-5)
+    vals, idxs = jax.lax.top_k(mixed, top_k)
+    g = jax.random.gumbel(rng, vals.shape)
+    choice = jnp.argmax(vals + g, axis=-1)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"))
+def _decode_chunk(
+    params, cfg: ChatterboxConfig,
+    cache_k, cache_v, key_valid,
+    slot0, rope_base, last_tok, done, rng,
+    temperature, cfg_weight, steps: int, top_k: int,
+):
+    b2 = key_valid.shape[0]
+    b = b2 // 2
+
+    def step(carry, t):
+        cache_k, cache_v, key_valid, last_tok, done, rng = carry
+        # Same sampled token feeds both cond and uncond rows
+        tok2b = jnp.concatenate([last_tok, last_tok])
+        x = params["speech_embed"][tok2b][:, None, :]
+        pos = (rope_base + t)[:, None]
+        slot = slot0 + t
+        h, (cache_k, cache_v) = tfm.stack_forward(
+            params["talker"], cfg.talker, x, pos,
+            kv_caches=(cache_k, cache_v), cache_len=slot,
+            attn_mask=None, key_valid=key_valid,
+        )
+        key_valid = key_valid.at[:, slot].set(True)
+        logits = h[:, -1].astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+        rng, k = jax.random.split(rng)
+        tok = _cfg_sample(logits, k, temperature, top_k, cfg_weight)
+        newly_done = tok == cfg.speech_eos
+        tok = jnp.where(done, cfg.speech_pad, tok)
+        done = done | newly_done
+        return (cache_k, cache_v, key_valid, tok, done, rng), (tok, done)
+
+    carry0 = (cache_k, cache_v, key_valid, last_tok, done, rng)
+    carry, (toks, dones) = jax.lax.scan(step, carry0, jnp.arange(steps))
+    cache_k, cache_v, key_valid, last_tok, done, rng = carry
+    return (
+        jnp.transpose(toks, (1, 0)),
+        jnp.transpose(dones, (1, 0)),
+        cache_k, cache_v, key_valid, last_tok, done, rng,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vocode(params, cfg: ChatterboxConfig, tokens):
+    """tokens (B, T) → waveform (B, T*hop), watermarked."""
+    from ...ops.watermark import _embed_core
+
+    clamped = jnp.minimum(tokens, cfg.codec.codebook_size - 1)
+    wav = codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped[..., None])
+    return jax.vmap(lambda w: _embed_core(w, 0x5EED) if w.shape[-1] >= 1024 else w)(wav)
+
+
+class ChatterboxModel:
+    """Voice-cloning TTS with conditionals caching and CFG decoding."""
+
+    def __init__(self, cfg: ChatterboxConfig, params: Optional[Params] = None, seed: int = 0):
+        self.cfg = cfg
+        self.sr = cfg.codec.sample_rate
+        self.tokenizer = load_tokenizer(None, vocab_size=cfg.text_vocab)
+        if params is None:
+            params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(seed), cfg)
+        self.params = params
+        self._speaker_encoder = None
+        self.conditionals: Optional[np.ndarray] = None  # active speaker embedding
+
+    @classmethod
+    def from_pretrained(cls, device: str = "tpu", implementation: str = "standard", seed: int = 0):
+        cfg = PRESETS.get(implementation, PRESETS["standard"])
+        return cls(cfg, seed=seed)
+
+    @property
+    def speaker_encoder(self):
+        if self._speaker_encoder is None:
+            from ..speaker import SpeakerEncoder
+
+            self._speaker_encoder = SpeakerEncoder()
+        return self._speaker_encoder
+
+    def prepare_conditionals(self, ref_audio_path: str) -> np.ndarray:
+        """Speaker conditioning from reference audio (cacheable by caller)."""
+        from ...audio_io import load_wav
+
+        wav, sr = load_wav(ref_audio_path)
+        return self.speaker_encoder.embed_utterance(wav, sr)
+
+    def generate(
+        self,
+        text: str,
+        audio_prompt_path: Optional[str] = None,
+        temperature: float = 1.0,
+        cfg_weight: float = 0.6,
+        max_new_tokens: Optional[int] = None,
+        max_cache_len: Optional[int] = None,
+        rng=None,
+        cancel_check=None,
+    ):
+        """Synthesize one text; returns a 1-D waveform (jax array)."""
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        spk = None
+        if audio_prompt_path is not None:
+            spk = self.prepare_conditionals(audio_prompt_path)
+        elif self.conditionals is not None:
+            spk = np.asarray(self.conditionals)
+
+        ids = np.asarray(self.tokenizer.encode(text), np.int32)
+        pieces = []
+        if spk is not None:
+            pieces.append((jnp.asarray(spk, jnp.float32) @ self.params["spk_proj"].astype(jnp.float32))[None].astype(self.params["text_embed"].dtype))
+        pieces.append(self.params["text_embed"][ids])
+        pieces.append(self.params["speech_embed"][cfg.speech_bos][None])
+        cond_row = jnp.concatenate(pieces, axis=0)
+        # Unconditional row: same speaker conditioning, no text
+        if spk is not None:
+            uncond_row = jnp.concatenate([pieces[0], pieces[-1]], axis=0)
+        else:
+            uncond_row = pieces[-1]
+
+        rows = [cond_row, uncond_row]
+        lens = [int(r.shape[0]) for r in rows]
+        p = _round_up(max(lens), PROMPT_BUCKET)
+        embeds = jnp.stack([jnp.pad(r, ((p - n, 0), (0, 0))) for r, n in zip(rows, lens)])
+        rope_pos = jnp.stack([jnp.maximum(jnp.arange(p) - (p - n), 0) for n in lens]).astype(jnp.int32)
+        attn_mask = jnp.stack([jnp.arange(p) >= (p - n) for n in lens])
+
+        max_new = max_new_tokens or cfg.max_new_tokens
+        if max_new is None:
+            max_new = int(np.clip(len(text) * 2.0 + 50, CHUNK, 2000))
+        n_chunks = _round_up(max_new, CHUNK) // CHUNK
+        s = p + n_chunks * CHUNK
+        cache_cap = max_cache_len or cfg.max_cache_len
+        if cache_cap is not None:
+            s = min(s, _round_up(max(cache_cap, p + CHUNK), CHUNK))
+            n_chunks = max((s - p) // CHUNK, 1)
+
+        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 2, s)
+        key_valid = jnp.zeros((2, s), bool)
+
+        logits, cache_k, cache_v, key_valid = _prefill(
+            self.params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+        )
+        rng, k0 = jax.random.split(rng)
+        tok0 = _cfg_sample(logits, k0, jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight))
+        done = tok0 == cfg.speech_eos
+        rope_base = jnp.asarray(lens, jnp.int32)
+
+        all_toks = [np.asarray(tok0)[:, None]]
+        all_done = [np.asarray(done)[:, None]]
+        last_tok = tok0
+        slot0 = jnp.int32(p)
+
+        for _ in range(n_chunks):
+            if cancel_check is not None:
+                cancel_check()
+            if bool(np.all(np.asarray(done))):
+                break
+            (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
+                self.params, cfg, cache_k, cache_v, key_valid,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
+                jnp.float32(temperature), jnp.float32(cfg_weight), CHUNK, cfg.top_k,
+            )
+            all_toks.append(np.asarray(toks))
+            all_done.append(np.asarray(dones))
+            slot0 = slot0 + CHUNK
+
+        toks = np.concatenate(all_toks, axis=1)[0]  # cond row
+        done_seq = np.concatenate(all_done, axis=1)[0]
+        d = np.nonzero(done_seq)[0]
+        end = max(int(d[0]) if d.size else toks.shape[0], 1)
+        toks = toks[:end]
+
+        t_pad = _round_up(toks.shape[0], CHUNK)
+        batch = jnp.asarray(np.pad(toks, (0, t_pad - toks.shape[0]))[None])
+        wav = _vocode(self.params, cfg, batch)
+        return wav[0, : toks.shape[0] * cfg.codec.hop]

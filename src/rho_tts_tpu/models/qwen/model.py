@@ -115,6 +115,7 @@ def _prefill(
         cache_len=jnp.int32(0),
         attn_mask=attn_mask,
         key_valid=key_valid,
+        fused_prefill=True,
     )
     key_valid = key_valid.at[:, :p].set(attn_mask)
     logits = (h[:, -1].astype(jnp.float32)) @ params["lm_head"].astype(jnp.float32)

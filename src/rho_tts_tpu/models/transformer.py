@@ -26,6 +26,21 @@ import numpy as np
 Params = Dict[str, Any]
 
 
+def _fused_attention_available() -> bool:
+    """Use the Pallas prefill kernel on TPU backends (env-overridable)."""
+    import os
+
+    flag = os.environ.get("RHO_TTS_TPU_FUSED_ATTENTION", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformerConfig:
     hidden: int = 2048
@@ -149,6 +164,7 @@ def block_forward(
     cache_len: Optional[jnp.ndarray],  # scalar or (B,): cache slots already used
     attn_mask: Optional[jnp.ndarray],  # (B, T) validity of current tokens
     key_valid: Optional[jnp.ndarray] = None,  # (B, S) validity of cache slots
+    fused_prefill: bool = False,  # chunk fills an empty cache → Pallas kernel
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One transformer block. Returns (output, updated_kv).
 
@@ -176,20 +192,32 @@ def block_forward(
         ck = ck.at[bidx, write_pos].set(k.astype(ck.dtype))
         cv = cv.at[bidx, write_pos].set(v.astype(cv.dtype))
 
-        scores = _gqa_scores(q, ck) * scale  # (B, Hq, T, S)
-        key_pos = jnp.arange(s)[None, None, None, :]
-        query_abs = write_pos[:, None, :, None]  # (B,1,T,1)
-        mask = key_pos <= query_abs
-        if key_valid is not None:
-            # Freshly written slots are valid per attn_mask; older slots per
-            # key_valid (the caller updates key_valid once per forward).
-            kv_now = key_valid.at[bidx, write_pos].set(
-                jnp.ones((b, t), bool) if attn_mask is None else attn_mask
-            )
-            mask = mask & kv_now[:, None, None, :]
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = _gqa_mix(probs, cv)  # (B, T, Hq, D)
+        if fused_prefill and t > 1 and _fused_attention_available():
+            # The chunk IS the whole attention context (empty cache): run
+            # the fused Pallas kernel over the fresh q/k/v directly.
+            from ..ops.pallas.attention import fused_gqa_attention
+
+            mask = attn_mask if attn_mask is not None else jnp.ones((b, t), bool)
+            attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
+        else:
+            attn = None
+
+        if attn is None:
+            scores = _gqa_scores(q, ck) * scale  # (B, Hq, T, S)
+            key_pos = jnp.arange(s)[None, None, None, :]
+            query_abs = write_pos[:, None, :, None]  # (B,1,T,1)
+            mask = key_pos <= query_abs
+            if key_valid is not None:
+                # Freshly written slots are valid per attn_mask; older
+                # slots per key_valid (the caller updates key_valid once
+                # per forward).
+                kv_now = key_valid.at[bidx, write_pos].set(
+                    jnp.ones((b, t), bool) if attn_mask is None else attn_mask
+                )
+                mask = mask & kv_now[:, None, None, :]
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = _gqa_mix(probs, cv)  # (B, T, Hq, D)
         new_cache = (ck, cv)
     else:
         scores = _gqa_scores(q, k) * scale  # (B, Hq, T, T)
@@ -221,6 +249,7 @@ def stack_forward(
     cache_len: Optional[jnp.ndarray] = None,
     attn_mask: Optional[jnp.ndarray] = None,
     key_valid: Optional[jnp.ndarray] = None,
+    fused_prefill: bool = False,
 ):
     """Run the full block stack via scan-over-layers.
 
@@ -245,7 +274,8 @@ def stack_forward(
             h = carry
             layer_params, ck, cv = inp
             out, (nk, nv) = block_forward(
-                layer_params, cfg, h, positions, (ck, cv), cache_len, attn_mask, key_valid
+                layer_params, cfg, h, positions, (ck, cv), cache_len, attn_mask,
+                key_valid, fused_prefill,
             )
             return out, (nk, nv)
 

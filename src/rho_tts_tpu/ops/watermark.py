@@ -1,0 +1,68 @@
+"""Inaudible spread-spectrum audio watermarking (embed + detect) in JAX.
+
+TPU-native replacement for the ``perth`` implicit watermarker the
+reference's Chatterbox provider requires (``chatterbox.py:87-94``): a
+seeded ±1 pseudo-noise sequence is shaped by the signal's local RMS
+envelope (so it hides under the program material) and added at a small
+level; detection correlates the residual against the same PN sequence and
+reports a normalized score.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_KEY = 0x5EED
+_STRENGTH = 0.003  # ~ -50 dBFS relative to envelope
+_ENV_WINDOW = 1024
+
+
+def _pn_sequence(n: int, key: int) -> jnp.ndarray:
+    bits = jax.random.bernoulli(jax.random.PRNGKey(key), 0.5, (n,))
+    return jnp.where(bits, 1.0, -1.0)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _embed_core(audio: jnp.ndarray, key: int) -> jnp.ndarray:
+    n = audio.shape[-1]
+    pn = _pn_sequence(n, key)
+    # Local RMS envelope via windowed mean of x^2 (same-size, reflect pad)
+    x2 = audio * audio
+    kernel = jnp.ones(_ENV_WINDOW) / _ENV_WINDOW
+    env = jnp.sqrt(
+        jnp.convolve(jnp.pad(x2, (_ENV_WINDOW // 2, _ENV_WINDOW // 2), mode="edge"), kernel, mode="valid")[:n]
+    )
+    return audio + pn * env * _STRENGTH
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _detect_core(audio: jnp.ndarray, key: int) -> jnp.ndarray:
+    n = audio.shape[-1]
+    pn = _pn_sequence(n, key)
+    # Whiten with a first-order difference to suppress the host signal,
+    # then correlate against the equally-whitened PN template.
+    resid = jnp.diff(audio, prepend=audio[:1])
+    tmpl = jnp.diff(pn, prepend=pn[:1])
+    num = jnp.sum(resid * tmpl)
+    den = jnp.sqrt(jnp.sum(resid * resid) * jnp.sum(tmpl * tmpl)) + 1e-12
+    return num / den * jnp.sqrt(jnp.float32(n))
+
+
+def apply_watermark(audio, key: int = DEFAULT_KEY) -> jnp.ndarray:
+    """Embed the watermark; returns the watermarked waveform."""
+    a = jnp.asarray(audio, jnp.float32).reshape(-1)
+    if a.shape[-1] < _ENV_WINDOW:
+        return a
+    return _embed_core(a, key)
+
+
+def detect_watermark(audio, key: int = DEFAULT_KEY) -> float:
+    """Normalized detection score; > ~5 indicates the watermark is present."""
+    a = jnp.asarray(audio, jnp.float32).reshape(-1)
+    if a.shape[-1] < _ENV_WINDOW:
+        return 0.0
+    return float(_detect_core(a, key))

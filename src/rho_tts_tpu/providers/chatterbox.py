@@ -1,0 +1,147 @@
+"""Chatterbox-class provider: single-segment regeneration specialist.
+
+High-retry validation workflow (max_iterations=50 by default) around the
+CFG-sampled AR model in :mod:`rho_tts_tpu.models.chatterbox`. Voice-prompt
+conditionals are cached per reference-audio path; "standard" vs "faster"
+implementations differ only in decode caps.
+
+Capability parity: reference ``src/rho_tts/providers/chatterbox.py:21-167``
+(ctor surface :45-102, prompt cache :113-121, faster caps :125-127,
+watermarker gate :87-94 — here the watermark is a built-in XLA DSP pass,
+see ``ops.watermark``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ..engine import BaseTTS
+from ..provider_info import ProviderInfo, VoiceInfo
+
+logger = logging.getLogger(__name__)
+
+
+class ChatterboxTTS(BaseTTS):
+    """Chatterbox-class TTS with comprehensive validation.
+
+    Args:
+        device: Device to run on ("tpu" or "cpu").
+        seed: Random seed for consistent voice generation.
+        deterministic: Request deterministic XLA reductions.
+        reference_audio: Audio path for voice cloning (optional; default
+            voice is used otherwise).
+        implementation: "standard" or "faster" (capped decode).
+        max_chars_per_segment: Max characters per segment (default auto).
+        max_iterations: Validation retry iterations (default 50).
+        accent_drift_threshold: Accent-drift gate (default 0.17).
+        text_similarity_threshold: STT match gate (default 0.75).
+        drift_model_path: Explicit classifier path (overrides voice_id).
+        phonetic_mapping: Word-to-pronunciation overrides.
+        temperature: Sampling temperature (default 1.0).
+        cfg_weight: Classifier-free guidance weight (default 0.6).
+    """
+
+    MAX_MODEL_CHARS = 3000
+    BYTES_PER_CHAR_ESTIMATE = 600_000
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        seed: int = 789,
+        deterministic: bool = False,
+        reference_audio: Optional[str] = None,
+        implementation: str = "standard",
+        max_chars_per_segment: Optional[int] = None,
+        max_iterations: int = 50,
+        accent_drift_threshold: float = 0.17,
+        text_similarity_threshold: float = 0.75,
+        drift_model_path: Optional[str] = None,
+        phonetic_mapping: Optional[Dict[str, str]] = None,
+        temperature: float = 1.0,
+        cfg_weight: float = 0.6,
+    ):
+        super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
+
+        if implementation not in ("standard", "faster", "tiny"):
+            raise ValueError(
+                f"Invalid implementation '{implementation}'. Must be 'standard' or 'faster'"
+            )
+
+        self.reference_audio_path = reference_audio
+        self.voice_cloning = reference_audio is not None
+        self.implementation = implementation
+        self.drift_model_path = drift_model_path
+
+        self._max_chars_explicit = max_chars_per_segment is not None
+        self.max_chars_per_segment = (
+            max_chars_per_segment if max_chars_per_segment is not None else 800
+        )
+        self.max_iterations = max_iterations
+        self.accent_drift_threshold = accent_drift_threshold
+        self.text_similarity_threshold = text_similarity_threshold
+
+        # Model loads eagerly (parity with the reference's ctor-time load)
+        from ..models.chatterbox import ChatterboxModel
+
+        self.model = ChatterboxModel.from_pretrained(
+            device=device, implementation=implementation, seed=seed
+        )
+        self._prompt_cache: Dict[str, np.ndarray] = {}
+        self.temperature = temperature
+        self.cfg_weight = cfg_weight
+
+        if implementation == "faster":
+            logger.info("Using 'faster' implementation (capped decode)")
+
+        if self.voice_cloning:
+            try:
+                from ..audio_io import load_wav
+
+                wav, sr = load_wav(reference_audio)
+                self.reference_embedding = self.model.speaker_encoder.embed_utterance(wav, sr)
+            except Exception as exc:  # noqa: BLE001
+                logger.warning("Reference embedding unavailable: %s", exc)
+
+    def _generate_audio(self, text: Union[str, List[str]], **kwargs):
+        """Generate audio with per-reference conditionals caching."""
+        if isinstance(text, list):
+            return [self._generate_audio(t, **kwargs) for t in text]
+
+        prompt_path = self.reference_audio_path if self.voice_cloning else None
+        if prompt_path:
+            if prompt_path not in self._prompt_cache:
+                self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
+            self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
+            prompt_path = None
+
+        gen_kwargs = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
+        gen_kwargs.update(kwargs)
+
+        return self.model.generate(
+            text,
+            audio_prompt_path=prompt_path,
+            rng=self.next_rng(),
+            **gen_kwargs,
+        )
+
+    def close(self) -> None:
+        """Release model parameters and conditionals cache."""
+        self.model = None
+        self._prompt_cache.clear()
+        self._free_device_memory()
+
+    @classmethod
+    def provider_info(cls) -> ProviderInfo:
+        return ProviderInfo(
+            name="chatterbox",
+            supports_voice_cloning=True,
+            supported_languages=["English"],
+            builtin_voices=[VoiceInfo(id="default", name="Default", language="English")],
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.model.sr

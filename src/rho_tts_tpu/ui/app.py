@@ -1,0 +1,343 @@
+"""Gradio Blocks web UI: Generate / Voices / Models / Training / Library.
+
+Multi-user mode (auto-detected via the ``SPACE_ID`` env var, or forced
+with ``--multi-user``) gives every browser tab an isolated
+:class:`SessionContext`; single-user mode persists config/history to disk.
+
+Capability parity: reference ``ui/app.py:29-975``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+from . import callbacks as cb
+from .config import AppConfig, load_config
+from .session import SessionContext
+from .state import AppState
+
+logger = logging.getLogger(__name__)
+
+_FORMATS = ["wav", "mp3", "flac", "ogg"]
+
+
+def _build_app(multi_user: bool = False):
+    import gradio as gr
+
+    base_config: Optional[AppConfig] = load_config() if multi_user else None
+
+    def new_session():
+        if multi_user:
+            return SessionContext(base_config)
+        ctx = SessionContext.__new__(SessionContext)
+        ctx.state = AppState()
+        ctx._output_dir = None
+        return ctx
+
+    with gr.Blocks(title="rho-tts-tpu") as app:
+        session = gr.State(value=new_session, delete_callback=lambda s: s.cleanup() if multi_user else None)
+
+        gr.Markdown("# rho-tts-tpu — TPU-native text-to-speech")
+
+        # ------------------------------------------------------------------
+        # Tab 1: Generate
+        # ------------------------------------------------------------------
+        with gr.Tab("Generate"):
+            with gr.Row():
+                model_dd = gr.Dropdown(label="Model", choices=[], interactive=True)
+                voice_dd = gr.Dropdown(label="Voice", choices=[], interactive=True)
+            text_in = gr.Textbox(label="Text", lines=5, placeholder="Enter text to synthesize…")
+            with gr.Row():
+                fmt_dd = gr.Dropdown(label="Format", choices=_FORMATS, value="wav")
+                speed_sl = gr.Slider(0.5, 2.0, value=1.0, step=0.05, label="Speed")
+                pitch_sl = gr.Slider(-12, 12, value=0.0, step=0.5, label="Pitch (semitones)")
+            with gr.Accordion("Pronunciation (phonetic mapping)", open=False):
+                phon_df = gr.Dataframe(
+                    headers=["word", "pronounce as"], datatype=["str", "str"],
+                    row_count=(1, "dynamic"), col_count=(2, "fixed"),
+                )
+                phon_save_btn = gr.Button("Save pronunciations")
+            with gr.Accordion("Generation parameters", open=False):
+                max_iter_sl = gr.Slider(1, 50, value=10, step=1, label="Max validation retries")
+                drift_sl = gr.Slider(0.01, 1.0, value=0.17, step=0.01, label="Accent drift threshold")
+                sim_sl = gr.Slider(0.1, 1.0, value=0.85, step=0.01, label="Text similarity threshold")
+                param_save_btn = gr.Button("Save parameters")
+                param_status = gr.Markdown("")
+            with gr.Row():
+                gen_btn = gr.Button("Generate", variant="primary")
+                cancel_btn = gr.Button("Cancel")
+            status_md = gr.Markdown("")
+            audio_out = gr.Audio(label="Output", interactive=False)
+
+            def model_choices(ctx):
+                return [(m.label, m.id) for m in ctx.state.config.models]
+
+            def refresh_generate_tab(ctx):
+                models = model_choices(ctx)
+                model_id = ctx.state.config.last_model_id or (models[0][1] if models else None)
+                voices = cb.voice_choices_for_model(ctx.state, model_id) if model_id else []
+                voice_id = ctx.state.config.last_voice_id
+                if voice_id not in [v for _, v in voices]:
+                    voice_id = voices[0][1] if voices else None
+                return (
+                    gr.update(choices=models, value=model_id),
+                    gr.update(choices=voices, value=voice_id),
+                )
+
+            def on_model_change(ctx, model_id):
+                voices = cb.voice_choices_for_model(ctx.state, model_id)
+                return gr.update(choices=voices, value=voices[0][1] if voices else None)
+
+            def on_pair_change(ctx, voice_id, model_id):
+                if not voice_id or not model_id:
+                    return [], 10, 0.17, 0.85
+                rows = cb.load_phonetic_rows(ctx.state, voice_id, model_id)
+                params = cb.load_parameters(ctx.state, voice_id, model_id)
+                return (
+                    rows or [["", ""]],
+                    params.get("max_iterations", 10),
+                    params.get("accent_drift_threshold", 0.17),
+                    params.get("text_similarity_threshold", 0.85),
+                )
+
+            def do_generate(ctx, model_id, voice_id, text, fmt, speed, pitch):
+                out_dir = ctx.output_dir if multi_user else None
+                for path, status in cb.generate_audio(
+                    ctx.state, model_id, voice_id, text, fmt, speed, pitch, output_dir=out_dir
+                ):
+                    yield path, status
+
+            def do_cancel(ctx):
+                return cb.cancel_generation(ctx.state)
+
+            def do_save_params(ctx, voice_id, model_id, max_iter, drift, sim):
+                if not voice_id or not model_id:
+                    return "❌ Pick a voice and model first."
+                return cb.save_parameters(
+                    ctx.state, voice_id, model_id,
+                    {
+                        "max_iterations": int(max_iter),
+                        "accent_drift_threshold": float(drift),
+                        "text_similarity_threshold": float(sim),
+                    },
+                )
+
+            def do_save_phonetics(ctx, voice_id, model_id, rows):
+                if not voice_id or not model_id:
+                    return "❌ Pick a voice and model first."
+                data = rows.values.tolist() if hasattr(rows, "values") else rows
+                return cb.save_phonetic_rows(ctx.state, voice_id, model_id, data)
+
+            model_dd.change(on_model_change, [session, model_dd], [voice_dd])
+            voice_dd.change(
+                on_pair_change, [session, voice_dd, model_dd],
+                [phon_df, max_iter_sl, drift_sl, sim_sl],
+            )
+            gen_btn.click(
+                do_generate,
+                [session, model_dd, voice_dd, text_in, fmt_dd, speed_sl, pitch_sl],
+                [audio_out, status_md],
+                concurrency_limit=1,
+            )
+            cancel_btn.click(do_cancel, [session], [status_md])
+            param_save_btn.click(
+                do_save_params,
+                [session, voice_dd, model_dd, max_iter_sl, drift_sl, sim_sl],
+                [param_status],
+            )
+            phon_save_btn.click(
+                do_save_phonetics, [session, voice_dd, model_dd, phon_df], [param_status]
+            )
+
+        # ------------------------------------------------------------------
+        # Tab 2: Voices
+        # ------------------------------------------------------------------
+        with gr.Tab("Voices"):
+            voices_df = gr.Dataframe(
+                headers=["id", "name", "provider", "type", "language"],
+                interactive=False,
+            )
+            with gr.Row():
+                v_name = gr.Textbox(label="Name")
+                v_provider = gr.Dropdown(
+                    label="Provider", choices=["qwen", "chatterbox"], value="qwen"
+                )
+                v_language = gr.Dropdown(
+                    label="Language",
+                    choices=["English", "Chinese", "Japanese", "Korean"],
+                    value="English",
+                )
+            v_ref_audio = gr.Audio(label="Reference audio (for cloning)", type="filepath")
+            v_ref_text = gr.Textbox(label="Reference transcript", lines=2)
+            with gr.Row():
+                v_add_btn = gr.Button("Add voice", variant="primary")
+                v_del_id = gr.Textbox(label="Voice id to delete")
+                v_del_btn = gr.Button("Delete voice")
+            v_status = gr.Markdown("")
+
+            def voices_table(ctx):
+                return [
+                    [
+                        v.id,
+                        v.name,
+                        v.provider,
+                        "cloning" if v.is_cloning else (v.speaker or "default"),
+                        v.language,
+                    ]
+                    for v in ctx.state.config.voices
+                ]
+
+            def do_add_voice(ctx, name, provider, language, ref_audio, ref_text):
+                _voice, msg = cb.add_voice(
+                    ctx.state, name, provider,
+                    reference_audio=ref_audio, reference_text=ref_text,
+                    language=language,
+                )
+                return voices_table(ctx), msg
+
+            def do_del_voice(ctx, voice_id):
+                msg = cb.delete_voice(ctx.state, voice_id)
+                return voices_table(ctx), msg
+
+            v_add_btn.click(
+                do_add_voice,
+                [session, v_name, v_provider, v_language, v_ref_audio, v_ref_text],
+                [voices_df, v_status],
+            )
+            v_del_btn.click(do_del_voice, [session, v_del_id], [voices_df, v_status])
+
+        # ------------------------------------------------------------------
+        # Tab 3: Models
+        # ------------------------------------------------------------------
+        with gr.Tab("Models"):
+            models_df = gr.Dataframe(
+                headers=["id", "label", "provider", "path", "cached"], interactive=False
+            )
+            with gr.Row():
+                m_label = gr.Textbox(label="Label")
+                m_provider = gr.Dropdown(
+                    label="Provider", choices=["qwen", "chatterbox"], value="qwen"
+                )
+                m_path = gr.Textbox(label="Model path / HF id")
+                m_needs_ref = gr.Checkbox(label="Needs reference audio (Base/cloning)")
+            with gr.Row():
+                m_add_btn = gr.Button("Add model", variant="primary")
+                m_dl_btn = gr.Button("Download to cache")
+                m_del_id = gr.Textbox(label="Model id to delete")
+                m_del_btn = gr.Button("Delete model")
+            m_status = gr.Markdown("")
+
+            def models_table(ctx):
+                from .config import is_model_cached
+
+                return [
+                    [m.id, m.label, m.provider, m.model_path,
+                     "✓" if is_model_cached(m.model_path) else "—"]
+                    for m in ctx.state.config.models
+                ]
+
+            def do_add_model(ctx, label, provider, path, needs_ref):
+                _m, msg = cb.add_model(ctx.state, label, provider, path, needs_ref)
+                return models_table(ctx), msg
+
+            def do_del_model(ctx, model_id):
+                msg = cb.delete_model(ctx.state, model_id)
+                return models_table(ctx), msg
+
+            def do_download(ctx, path):
+                return models_table(ctx), cb.download_model(path)
+
+            m_add_btn.click(
+                do_add_model, [session, m_label, m_provider, m_path, m_needs_ref],
+                [models_df, m_status],
+            )
+            m_del_btn.click(do_del_model, [session, m_del_id], [models_df, m_status])
+            m_dl_btn.click(do_download, [session, m_path], [models_df, m_status])
+
+        # ------------------------------------------------------------------
+        # Tab 4: Training
+        # ------------------------------------------------------------------
+        with gr.Tab("Training"):
+            if multi_user:
+                gr.Markdown("⚠️ Classifier training is disabled in multi-user mode.")
+            else:
+                t_dataset = gr.Textbox(
+                    label="Dataset directory (contains good/ and bad/ wav folders)"
+                )
+                t_voice = gr.Textbox(label="Voice id (optional, for a per-voice model)")
+                t_btn = gr.Button("Train drift classifier", variant="primary")
+                t_log = gr.Textbox(label="Training log", lines=14, interactive=False)
+
+                def do_train(ctx, dataset_dir, voice_id):
+                    for line in cb.train_classifier(
+                        ctx.state, dataset_dir, voice_id or None
+                    ):
+                        yield line
+
+                t_btn.click(do_train, [session, t_dataset, t_voice], [t_log])
+
+        # ------------------------------------------------------------------
+        # Tab 5: Library
+        # ------------------------------------------------------------------
+        with gr.Tab("Library"):
+            with gr.Row():
+                lib_search = gr.Textbox(label="Search text")
+                lib_refresh = gr.Button("Refresh")
+            lib_df = gr.Dataframe(
+                headers=["id", "when", "text", "voice", "model", "duration"],
+                interactive=False,
+            )
+            with gr.Row():
+                lib_id = gr.Textbox(label="Record id")
+                lib_play_btn = gr.Button("Play")
+                lib_del_btn = gr.Button("Delete")
+            lib_audio = gr.Audio(label="Playback", interactive=False)
+            lib_status = gr.Markdown("")
+
+            def do_library(ctx, search):
+                return cb.library_rows(ctx.state, search)
+
+            def do_play(ctx, record_id):
+                path, msg = cb.replay_record(ctx.state, record_id)
+                return path, msg
+
+            def do_del_record(ctx, record_id):
+                msg = cb.delete_record(ctx.state, record_id)
+                return cb.library_rows(ctx.state, ""), msg
+
+            lib_refresh.click(do_library, [session, lib_search], [lib_df])
+            lib_play_btn.click(do_play, [session, lib_id], [lib_audio, lib_status])
+            lib_del_btn.click(do_del_record, [session, lib_id], [lib_df, lib_status])
+
+        # Hydrate dropdowns when the app loads
+        app.load(refresh_generate_tab, [session], [model_dd, voice_dd])
+
+    return app
+
+
+def launch_ui(
+    host: Optional[str] = None,
+    port: Optional[int] = None,
+    share: bool = False,
+    multi_user: Optional[bool] = None,
+):
+    """Build and launch the web UI (blocking)."""
+    parser = argparse.ArgumentParser(description="rho-tts-tpu web UI")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--share", action="store_true")
+    parser.add_argument("--multi-user", action="store_true")
+    args, _ = parser.parse_known_args()
+
+    if multi_user is None:
+        multi_user = args.multi_user or bool(os.environ.get("SPACE_ID"))
+
+    app = _build_app(multi_user=multi_user)
+    app.queue().launch(
+        server_name=host or args.host or os.environ.get("GRADIO_SERVER_NAME", "127.0.0.1"),
+        server_port=port or args.port,
+        share=share or args.share,
+    )

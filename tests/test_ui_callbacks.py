@@ -1,0 +1,250 @@
+"""UI callback tests: generation flow, CRUD, parameters, library, training."""
+
+import os
+from unittest.mock import MagicMock, patch
+
+import numpy as np
+import pytest
+
+from rho_tts_tpu.result import GenerationResult
+from rho_tts_tpu.ui import callbacks as cb
+from rho_tts_tpu.ui.config import AppConfig, ModelConfig, VoiceProfile
+from rho_tts_tpu.ui.state import AppState
+
+
+@pytest.fixture
+def state():
+    return AppState(config=AppConfig(), multi_user=True)
+
+
+def first_model_id(state, provider="qwen", needs_reference=False):
+    for m in state.config.models:
+        if m.provider == provider and m.needs_reference == needs_reference:
+            return m.id
+    raise AssertionError("catalog model missing")
+
+
+class TestValidation:
+    def test_empty_text(self, state):
+        _, _, err = cb.validate_generation_request(state, "x", "y", "  ")
+        assert "text" in err.lower()
+
+    def test_unknown_model(self, state):
+        _, _, err = cb.validate_generation_request(state, "nope", "y", "hi")
+        assert "Unknown model" in err
+
+    def test_base_model_needs_cloning_voice(self, state):
+        mid = first_model_id(state, needs_reference=True)
+        vid = state.config.voices[0].id  # builtin named speaker
+        _, _, err = cb.validate_generation_request(state, mid, vid, "hi")
+        assert "reference audio" in err or "cloning" in err
+
+    def test_custom_voice_ok_with_speaker(self, state):
+        mid = first_model_id(state, needs_reference=False)
+        vid = next(v.id for v in state.config.voices if v.speaker)
+        model, voice, err = cb.validate_generation_request(state, mid, vid, "hi")
+        assert err is None
+        assert voice.speaker
+
+
+class TestGenerateFlow:
+    def _run(self, state, tts, tmp_path):
+        mid = first_model_id(state, needs_reference=False)
+        vid = next(v.id for v in state.config.voices if v.speaker)
+        with patch.object(state, "get_or_create_tts", return_value=tts):
+            return list(
+                cb.generate_audio(state, mid, vid, "hello", output_dir=str(tmp_path))
+            )
+
+    def test_success_streams_progress_and_records(self, state, tmp_path):
+        def fake_generate(text, out_path, cancellation_token=None, progress_callback=None, **kw):
+            if progress_callback:
+                progress_callback("Generating segment 1/1...")
+            return GenerationResult(
+                path=out_path, audio=np.zeros(10), sample_rate=24000,
+                duration_sec=1.2, segments_count=1, drift_prob=0.05,
+                text_similarity=0.97,
+            )
+
+        tts = MagicMock()
+        tts.generate.side_effect = fake_generate
+        updates = self._run(state, tts, tmp_path)
+        assert any("segment 1/1" in status for _, status in updates)
+        final_path, final_status = updates[-1]
+        assert final_path is not None
+        assert "✅" in final_status and "drift 0.05" in final_status
+        assert len(state.history) == 1
+
+    def test_failure_reports(self, state, tmp_path):
+        tts = MagicMock()
+        tts.generate.return_value = None
+        updates = self._run(state, tts, tmp_path)
+        assert "❌" in updates[-1][1]
+        assert len(state.history) == 0
+
+    def test_cancelled_reports(self, state, tmp_path):
+        def fake_generate(text, out_path, cancellation_token=None, **kw):
+            cancellation_token.cancel()
+            return None
+
+        tts = MagicMock()
+        tts.generate.side_effect = fake_generate
+        updates = self._run(state, tts, tmp_path)
+        assert "🚫" in updates[-1][1]
+
+    def test_exception_reports(self, state, tmp_path):
+        tts = MagicMock()
+        tts.generate.side_effect = RuntimeError("kaboom")
+        updates = self._run(state, tts, tmp_path)
+        assert "kaboom" in updates[-1][1]
+
+
+class TestParameters:
+    def test_fallback_chain(self, state):
+        mid = first_model_id(state)
+        params = cb.load_parameters(state, "v", mid)
+        assert params["max_iterations"] == 10  # model default
+        cb.save_parameters(state, "v", mid, {"max_iterations": 3})
+        assert cb.load_parameters(state, "v", mid)["max_iterations"] == 3
+
+    def test_save_only_differences(self, state):
+        mid = first_model_id(state)
+        cb.save_parameters(state, "v", mid, {"max_iterations": 10})  # equals default
+        assert state.config.get_parameter_override("v", mid) == {}
+
+    def test_reset(self, state):
+        mid = first_model_id(state)
+        cb.save_parameters(state, "v", mid, {"max_iterations": 2})
+        params = cb.reset_parameters(state, "v", mid)
+        assert params["max_iterations"] == 10
+
+
+class TestPhonetics:
+    def test_roundtrip(self, state):
+        cb.save_phonetic_rows(state, "v", "m", [["exocrine", "exo-crene"], ["", ""]])
+        assert cb.load_phonetic_rows(state, "v", "m") == [["exocrine", "exo-crene"]]
+
+    def test_empty_rows_clears(self, state):
+        cb.save_phonetic_rows(state, "v", "m", [["a", "b"]])
+        cb.save_phonetic_rows(state, "v", "m", [])
+        assert cb.load_phonetic_rows(state, "v", "m") == []
+
+
+class TestVoiceCrud:
+    def test_add_named_voice(self, state):
+        voice, msg = cb.add_voice(state, "My Voice", "qwen", speaker="Ryan")
+        assert voice is not None and "✅" in msg
+        assert state.config.get_voice(voice.id).speaker == "Ryan"
+
+    def test_duplicate_name_rejected(self, state):
+        cb.add_voice(state, "Dup", "qwen", speaker="Ryan")
+        voice, msg = cb.add_voice(state, "Dup", "qwen", speaker="Aria")
+        assert voice is None and "already exists" in msg
+
+    def test_qwen_cloning_requires_transcript(self, state, tmp_path):
+        ref = tmp_path / "r.wav"
+        ref.write_bytes(b"x")
+        voice, msg = cb.add_voice(state, "NoText", "qwen", reference_audio=str(ref))
+        assert voice is None and "transcript" in msg.lower()
+
+    def test_delete_cascades(self, state, tmp_path, monkeypatch):
+        from rho_tts_tpu.ui import config as cfgmod
+
+        monkeypatch.setattr(cfgmod, "VOICES_DIR", str(tmp_path))
+        ref = tmp_path / "r.wav"
+        ref.write_bytes(b"x")
+        voice, _ = cb.add_voice(
+            state, "Del Me", "qwen", reference_audio=str(ref), reference_text="t"
+        )
+        mid = first_model_id(state)
+        cb.save_phonetic_rows(state, voice.id, mid, [["a", "b"]])
+        cb.save_parameters(state, voice.id, mid, {"max_iterations": 2})
+        msg = cb.delete_voice(state, voice.id)
+        assert "✅" in msg
+        assert state.config.get_voice(voice.id) is None
+        assert cb.load_phonetic_rows(state, voice.id, mid) == []
+        assert state.config.get_parameter_override(voice.id, mid) == {}
+
+    def test_builtin_not_deletable(self, state):
+        vid = next(v.id for v in state.config.voices if v.is_builtin)
+        assert "❌" in cb.delete_voice(state, vid)
+
+
+class TestVoiceFiltering:
+    def test_base_model_hides_builtin_speakers(self, state):
+        mid = first_model_id(state, needs_reference=True)
+        choices = cb.voice_choices_for_model(state, mid)
+        assert choices == []  # no cloning voices yet
+        cb.add_voice(state, "Cloner", "qwen", reference_audio=__file__, reference_text="t")
+        choices = cb.voice_choices_for_model(state, mid)
+        assert len(choices) == 1
+
+    def test_custom_voice_model_hides_cloning_voices(self, state):
+        cb.add_voice(state, "Cloner", "qwen", reference_audio=__file__, reference_text="t")
+        mid = first_model_id(state, needs_reference=False)
+        labels = [l for l, _ in cb.voice_choices_for_model(state, mid)]
+        assert "Cloner" not in labels
+        assert "Vivian" in labels
+
+
+class TestModelCrud:
+    def test_add_and_delete(self, state):
+        model, msg = cb.add_model(state, "My Model", "qwen", "Org/Model-Path")
+        assert model is not None
+        assert "✅" in cb.delete_model(state, model.id)
+
+    def test_duplicate_path_rejected(self, state):
+        cb.add_model(state, "A", "qwen", "Org/Same")
+        model, msg = cb.add_model(state, "B", "qwen", "Org/Same")
+        assert model is None and "already registered" in msg
+
+
+class TestLibrary:
+    def test_rows_filter_and_delete(self, state, tmp_path):
+        from rho_tts_tpu.ui.config import GenerationRecord
+
+        wav = tmp_path / "x.wav"
+        wav.write_bytes(b"RIFF")
+        rec = GenerationRecord.new(
+            text="find this needle", voice_id="v", model_id="m",
+            output_path=str(wav), duration_sec=1.0,
+        )
+        state.add_record(rec)
+        state.add_record(
+            GenerationRecord.new(text="other", voice_id="v", model_id="m", output_path=None)
+        )
+        rows = cb.library_rows(state, search="needle")
+        assert len(rows) == 1
+        assert rows[0][0] == rec.id
+        msg = cb.delete_record(state, rec.id)
+        assert "✅" in msg
+        assert not wav.exists()
+
+    def test_replay_missing_file(self, state):
+        from rho_tts_tpu.ui.config import GenerationRecord
+
+        rec = GenerationRecord.new(
+            text="gone", voice_id="v", model_id="m", output_path="/nope/missing.wav"
+        )
+        state.add_record(rec)
+        path, msg = cb.replay_record(state, rec.id)
+        assert path is None and "❌" in msg
+
+
+class TestTraining:
+    def test_missing_dataset(self, state):
+        out = list(cb.train_classifier(state, "/does/not/exist"))
+        assert "❌" in out[-1]
+
+    def test_streams_trainer_output(self, state, tmp_path):
+        def fake_train(dataset_dir, voice_id=None, progress_callback=None):
+            progress_callback("Extracting: 1/2")
+            progress_callback("Training model...")
+            return "/tmp/model.pkl"
+
+        with patch(
+            "rho_tts_tpu.validation.classifier.trainer.train", side_effect=fake_train
+        ):
+            out = list(cb.train_classifier(state, str(tmp_path)))
+        assert any("Extracting" in o for o in out)
+        assert "✅" in out[-1]
