@@ -31,10 +31,111 @@ def sync(x):
     return float(jnp.sum(x if not isinstance(x, (list, tuple)) else x[0]))
 
 
+def bench_dsp():
+    """Config 1: post-processing chain on a 10 s waveform (on device)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rho_tts_tpu.ops import dsp
+
+    sr = 24000
+    rng = np.random.default_rng(0)
+    t = np.arange(10 * sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t) * (1 + np.sin(2 * np.pi * 3 * t)) / 2
+           + 0.01 * rng.standard_normal(t.size)).astype(np.float32)
+    half = wav[: wav.size // 2]
+    segs = [np.pad(half, (2400, 2400)), np.pad(half, (2400, 2400))]
+
+    def chain():
+        joined = dsp.smooth_segment_join(segs, sr)
+        out = dsp.loudness_postprocess(joined, sr)
+        return float(jnp.sum(out))
+
+    chain()  # compile
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        chain()
+    wall_ms = (time.time() - t0) / n * 1000
+    log(f"dsp chain (trim+join+fades+loudness) on 10 s: {wall_ms:.1f} ms")
+    print(json.dumps({
+        "metric": "dsp_chain_10s_wall",
+        "value": round(wall_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(10000.0 / wall_ms, 1),
+    }))
+
+
+def bench_scoring():
+    """Config 3: speaker-similarity + drift-feature scoring throughput."""
+    import numpy as np
+
+    from rho_tts_tpu.validation.classifier.trainer import extract_features
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(3 * sr) / sr
+    clip = (0.3 * np.sin(2 * np.pi * 180 * t) + 0.02 * rng.standard_normal(t.size)).astype(np.float32)
+
+    extract_features(clip, sample_rate=sr)  # compile/warm caches
+    t0 = time.time()
+    n = 8
+    for _ in range(n):
+        extract_features(clip, sample_rate=sr)
+    per_clip = (time.time() - t0) / n
+    log(f"scoring features (3 s clip): {per_clip*1000:.0f} ms → {1/per_clip:.1f} clips/s")
+    print(json.dumps({
+        "metric": "drift_scoring_clips_per_sec",
+        "value": round(1 / per_clip, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(1 / per_clip, 2),
+    }))
+
+
+def bench_pipeline():
+    """Config 5-style: full generate() path with validation hooks active."""
+    import numpy as np
+
+    from rho_tts_tpu.providers.qwen import QwenTTS
+
+    preset = os.environ.get("BENCH_PRESET", "1.7B")
+    tts = QwenTTS(
+        model_path=f"{preset}-CustomVoice",
+        speaker="Vivian",
+        max_iterations=1,
+        max_chars_per_segment=400,
+    )
+    texts = ["This is a benchmark sentence for the full pipeline. " * 3] * 5
+
+    r = tts.generate(texts[0])  # warmup/compile
+    t0 = time.time()
+    results = tts.generate(texts)
+    wall = time.time() - t0
+    audio_sec = sum(r.duration_sec for r in results if r)
+    segs = sum(r.segments_count for r in results if r)
+    rtf = audio_sec / wall if wall > 0 else 0.0
+    log(f"pipeline: {segs} validated segment(s), {audio_sec:.1f} s audio in {wall:.1f} s"
+        f" → RTF {rtf:.1f}, {segs / wall * 60:.0f} seg/min")
+    print(json.dumps({
+        "metric": f"qwen_{preset}_pipeline_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    mode = os.environ.get("BENCH_MODE", "decode")
+    if mode == "dsp":
+        return bench_dsp()
+    if mode == "scoring":
+        return bench_scoring()
+    if mode == "pipeline":
+        return bench_pipeline()
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     batch = int(os.environ.get("BENCH_BATCH", "5"))

@@ -43,6 +43,7 @@ from typing import Callable, Dict, Generator, List, Optional, Tuple, Union
 import numpy as np
 
 from . import audio_io, textproc
+from .utils import profiling
 from .cancellation import CancellationToken, CancelledException
 from .exceptions import FormatConversionError
 from .ops import dsp
@@ -65,6 +66,13 @@ class BaseTTS(ABC):
 
     MAX_MODEL_CHARS = 3000
     BYTES_PER_CHAR_ESTIMATE = 500_000
+
+    #: Providers that accept a list in ``_generate_audio`` and benefit from
+    #: batched device calls set this True: the pipeline then generates all
+    #: of an item's segments in one batched model call and re-batches only
+    #: the segments that fail validation — instead of the reference's
+    #: one-segment-at-a-time loop (``base_tts.py:753-898``).
+    supports_batch_generation = False
 
     def __init__(
         self,
@@ -300,6 +308,18 @@ class BaseTTS(ABC):
             logger.debug("STT validator not available, skipping text validation")
             return True, 1.0, None
 
+    def _validate_text_match_batch(self, audios, sample_rate: int, texts) -> list:
+        """Batched STT validation (one transcription program per batch)."""
+        try:
+            from .validation.stt.stt_validator import validate_audio_text_match_batch
+
+            return validate_audio_text_match_batch(
+                [(a, sample_rate) for a in audios], texts, self.text_similarity_threshold
+            )
+        except ImportError:
+            logger.debug("STT validator not available, skipping text validation")
+            return [(True, 1.0, None) for _ in audios]
+
     def _log_text_diff(self, expected: str, transcribed: str) -> None:
         """Log word-level differences between expected and transcribed text."""
         from difflib import SequenceMatcher
@@ -436,6 +456,165 @@ class BaseTTS(ABC):
     def _convert_format(wav_path: str, target_format: str) -> str:
         return audio_io.convert_format(wav_path, target_format)
 
+    # -- Batched segment generation -------------------------------------------
+
+    def _generate_segments_batched(
+        self,
+        segments: List[str],
+        token: CancellationToken,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ):
+        """Generate + validate all segments with batched model calls.
+
+        Returns (audios, drift_scores, text_sims) where ``audios[i]`` is
+        None for segments that never produced audio. Validation gates and
+        fallback semantics (best-by-drift, then last audio) match the
+        sequential path; only the batching strategy differs: iteration 0
+        synthesizes every segment in one device call, later iterations
+        re-batch only the failures with fresh seeds.
+        """
+        n = len(segments)
+        best: List = [None] * n
+        final: List[bool] = [False] * n
+        best_drift = [float("inf")] * n
+        best_sim: List[Optional[float]] = [None] * n
+        last: List = [None] * n
+
+        batch_cap = max(int(getattr(self, "batch_size", 0) or n), 1)
+        pending = list(range(n))
+        self._set_seeds()
+
+        for iteration in range(self.max_iterations):
+            if token.is_cancelled():
+                raise CancelledException("Cancelled during batched generation")
+            if iteration > 0:
+                self.seed = int(time.time() * 1000) % 100000
+                self._set_seeds()
+
+            if progress_callback:
+                progress_callback(
+                    f"Generating {len(pending)} segment(s) (iteration {iteration + 1})..."
+                )
+            logger.info(
+                f"    Batched iteration {iteration + 1}: {len(pending)} segment(s), "
+                f"seed {self.seed}"
+            )
+
+            outs: Dict[int, object] = {}
+            for start in range(0, len(pending), batch_cap):
+                chunk_idx = pending[start : start + batch_cap]
+                try:
+                    res = self._generate_audio([segments[i] for i in chunk_idx])
+                except ValueError:
+                    raise  # config error — don't retry
+                except RuntimeError as e:
+                    msg = str(e).lower()
+                    if any(m in msg for m in _OOM_MARKERS):
+                        logger.error(f"    Batch OOM: {e}")
+                        self._free_device_memory()
+                        continue
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Batch generation error ({e})")
+                    continue
+                for i, audio in zip(chunk_idx, res):
+                    outs[i] = audio
+                    last[i] = audio
+
+            if self.max_iterations == 1:
+                for i in pending:
+                    if i in outs:
+                        best[i] = outs[i]
+                        final[i] = True
+                        if getattr(self, "auto_sort_good_dir", None) or getattr(
+                            self, "auto_sort_bad_dir", None
+                        ):
+                            try:
+                                drift_prob, _ = self._validate_accent_drift(
+                                    outs[i], self.sample_rate
+                                )
+                                self._auto_sort_audio(outs[i], drift_prob)
+                            except Exception as e:  # noqa: BLE001
+                                logger.warning(f"    Auto-sort drift check failed ({e})")
+                break
+
+            still_pending = []
+            # Phase 1: accent drift for every generated segment
+            voice_ok_idx: List[int] = []
+            drifts: Dict[int, float] = {}
+            for i in pending:
+                if i not in outs:
+                    still_pending.append(i)
+                    continue
+                audio = outs[i]
+                try:
+                    drift_prob, is_voice_ok = self._validate_accent_drift(
+                        audio, self.sample_rate
+                    )
+                    self._auto_sort_audio(audio, drift_prob)
+                    drifts[i] = drift_prob
+                    if drift_prob < best_drift[i]:
+                        best_drift[i] = drift_prob
+                        best[i] = audio
+                    if is_voice_ok:
+                        voice_ok_idx.append(i)
+                    else:
+                        logger.warning(
+                            f"    Segment {i + 1} invalid: drift={drift_prob:.3f}"
+                        )
+                        still_pending.append(i)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Segment {i + 1}: validation error ({e})")
+                    still_pending.append(i)
+
+            # Phase 2: ONE batched STT call for all drift-passing segments
+            if voice_ok_idx:
+                try:
+                    stt_results = self._validate_text_match_batch(
+                        [outs[i] for i in voice_ok_idx],
+                        self.sample_rate,
+                        [segments[i] for i in voice_ok_idx],
+                    )
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Batched STT validation error ({e})")
+                    stt_results = [(True, 1.0, None)] * len(voice_ok_idx)
+
+                for i, (is_text_ok, text_sim, transcribed) in zip(
+                    voice_ok_idx, stt_results
+                ):
+                    best_sim[i] = text_sim
+                    if is_text_ok:
+                        best[i] = outs[i]
+                        final[i] = True
+                    else:
+                        if transcribed:
+                            try:
+                                self._log_text_diff(segments[i], transcribed)
+                            except Exception:  # noqa: BLE001
+                                pass
+                        logger.warning(
+                            f"    Segment {i + 1} invalid: text={text_sim:.3f}"
+                        )
+                        still_pending.append(i)
+
+            pending = still_pending
+            if not pending:
+                break
+
+        # Exhausted retries: fall back to best-by-drift, else last audio
+        for i in range(n):
+            if final[i] or best[i] is not None:
+                continue
+            if last[i] is not None:
+                best[i] = last[i]
+                logger.warning(
+                    f"    Segment {i + 1}: max iterations reached, returning last audio"
+                )
+
+        drift_scores = [best_drift[i] for i in range(n) if best_drift[i] != float("inf")]
+        text_sims = [s for s in best_sim if s is not None]
+        return best, drift_scores, text_sims
+
     # -- Core pipeline ---------------------------------------------------------
 
     def _run_pipeline(
@@ -487,7 +666,21 @@ class BaseTTS(ABC):
                 audio_segments = []
                 item_drift_scores = []
                 item_text_sim_scores = []
-                for seg_idx, segment in enumerate(segments):
+
+                if self.supports_batch_generation and len(segments) > 1:
+                    audios, item_drift_scores, item_text_sim_scores = (
+                        self._generate_segments_batched(segments, token, progress_callback)
+                    )
+                    for i, a in enumerate(audios):
+                        if a is None:
+                            logger.error(f"  Segment {i + 1} failed to generate")
+                        else:
+                            audio_segments.append(a)
+                    segments_iter = []
+                else:
+                    segments_iter = list(enumerate(segments))
+
+                for seg_idx, segment in segments_iter:
                     if token.is_cancelled():
                         raise CancelledException(
                             f"Cancelled during segment {seg_idx + 1} of item {idx + 1}"
@@ -633,13 +826,15 @@ class BaseTTS(ABC):
                 if not audio_segments:
                     break
 
-                final_audio = self._smooth_segment_join(audio_segments)
+                with profiling.stage("dsp/segment_join"):
+                    final_audio = self._smooth_segment_join(audio_segments)
 
                 if final_audio is None:
                     break
 
                 try:
-                    final_audio = self._post_process_audio(final_audio)
+                    with profiling.stage("dsp/postprocess"):
+                        final_audio = self._post_process_audio(final_audio)
                 except Exception as e:
                     logger.warning(
                         f"  Item {idx + 1}: post-processing failed ({e}), using raw audio"

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils import profiling
 from ...utils.tokenizer import load_tokenizer
 from .. import transformer as tfm
 from . import codec as codec_lib
@@ -396,9 +397,10 @@ class QwenTTSModel:
         cache_k, cache_v = tfm.make_kv_cache(cfg.talker, b, s)
         key_valid = jnp.zeros((b, s), bool)
 
-        logits, cache_k, cache_v, key_valid = _prefill(
-            self.params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
-        )
+        with profiling.stage("qwen/prefill"):
+            logits, cache_k, cache_v, key_valid = _prefill(
+                self.params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+            )
 
         rng, k0 = jax.random.split(rng)
         tok0 = _sample_token(logits, k0, jnp.float32(temperature), top_k)
@@ -420,30 +422,31 @@ class QwenTTSModel:
                 cancel_check()
             if bool(np.all(np.asarray(done))):
                 break
-            (
-                codes_chunk,
-                done_chunk,
-                cache_k,
-                cache_v,
-                key_valid,
-                last_codes,
-                done,
-                rng,
-            ) = _decode_chunk(
-                self.params,
-                cfg,
-                cache_k,
-                cache_v,
-                key_valid,
-                slot0,
-                rope_base + (slot0 - jnp.int32(p)),
-                last_codes,
-                done,
-                rng,
-                jnp.float32(temperature),
-                CHUNK,
-                top_k,
-            )
+            with profiling.stage("qwen/decode_chunk"):
+                (
+                    codes_chunk,
+                    done_chunk,
+                    cache_k,
+                    cache_v,
+                    key_valid,
+                    last_codes,
+                    done,
+                    rng,
+                ) = _decode_chunk(
+                    self.params,
+                    cfg,
+                    cache_k,
+                    cache_v,
+                    key_valid,
+                    slot0,
+                    rope_base + (slot0 - jnp.int32(p)),
+                    last_codes,
+                    done,
+                    rng,
+                    jnp.float32(temperature),
+                    CHUNK,
+                    top_k,
+                )
             all_codes.append(np.asarray(codes_chunk))
             all_done.append(np.asarray(done_chunk))
             slot0 = slot0 + CHUNK
@@ -499,7 +502,8 @@ class QwenTTSModel:
             batch = np.stack(
                 [np.pad(codes[i], ((0, t - codes[i].shape[0]), (0, 0))) for i in idxs]
             )
-            wav = _vocode(self.params, self.config, jnp.asarray(batch))
+            with profiling.stage("qwen/vocode"):
+                wav = _vocode(self.params, self.config, jnp.asarray(batch))
             for row, i in enumerate(idxs):
                 waves[i] = wav[row, : codes[i].shape[0] * hop]
         return waves, self.sample_rate

@@ -286,17 +286,29 @@ class WhisperModel:
 
     def transcribe_tokens(self, wav: jnp.ndarray, max_tokens: int = 128) -> np.ndarray:
         """(S,) 16 kHz waveform → token ids (max_tokens,)."""
+        return self.transcribe_tokens_batch([wav], max_tokens)[0]
+
+    def transcribe_tokens_batch(self, wavs, max_tokens: int = 128) -> np.ndarray:
+        """List of 16 kHz waveforms → token ids (B, max_tokens).
+
+        The whole batch shares one mel/encode/decode program — this is how
+        the validation pipeline scores a batch of candidate clips in one
+        device call instead of clip-at-a-time.
+        """
         n = CHUNK_FRAMES * HOP
-        wav = jnp.asarray(wav, jnp.float32)[:n]
-        wav = jnp.pad(wav, (0, n - wav.shape[0]))
-        mels = log_mel_spectrogram(wav)[None, :CHUNK_FRAMES]
+        padded = []
+        for wav in wavs:
+            w = jnp.asarray(wav, jnp.float32)[:n]
+            padded.append(jnp.pad(w, (0, n - w.shape[0])))
+        batch = jnp.stack(padded)
+        mels = jax.vmap(log_mel_spectrogram)(batch)[:, :CHUNK_FRAMES]
         enc = encode(self.params, self.cfg, mels)
         prompt = jnp.asarray(
             [self.cfg.sot, self.cfg.lang_en, self.cfg.task_transcribe, self.cfg.no_timestamps],
             jnp.int32,
         )
         toks = greedy_decode(self.params, self.cfg, enc, prompt, max_tokens)
-        return np.asarray(toks[0])
+        return np.asarray(toks)
 
 
 class WhisperTranscriber:
@@ -332,14 +344,26 @@ class WhisperTranscriber:
         return cls(model, tokenizer, has_real_weights=params is not None)
 
     def transcribe(self, wav, sample_rate: int) -> str:
-        if sample_rate != SAMPLE_RATE:
-            wav = resample(np.asarray(wav, np.float32), sample_rate, SAMPLE_RATE)
-        toks = self.model.transcribe_tokens(jnp.asarray(wav))
-        toks = [int(t) for t in toks if int(t) < self.model.cfg.eot]
-        if self.tokenizer is not None:
-            return self.tokenizer.decode(toks)
-        # Without a tokenizer the ids aren't mappable to text
-        return " ".join(str(t) for t in toks)
+        return self.transcribe_batch([wav], [sample_rate])[0]
+
+    def transcribe_batch(self, wavs, sample_rates) -> list:
+        """Transcribe several clips in one batched device call."""
+        prepped = []
+        for wav, sr in zip(wavs, sample_rates):
+            w = np.asarray(wav, np.float32)
+            if sr != SAMPLE_RATE:
+                w = np.asarray(resample(w, sr, SAMPLE_RATE))
+            prepped.append(jnp.asarray(w))
+        toks_batch = self.model.transcribe_tokens_batch(prepped)
+        out = []
+        for toks in toks_batch:
+            ids = [int(t) for t in toks if int(t) < self.model.cfg.eot]
+            if self.tokenizer is not None:
+                out.append(self.tokenizer.decode(ids))
+            else:
+                # Without a tokenizer the ids aren't mappable to text
+                out.append(" ".join(str(t) for t in ids))
+        return out
 
 
 def _load_hf_checkpoint(model_path: str, cfg: WhisperConfig) -> Optional[Params]:

@@ -55,6 +55,9 @@ class QwenTTS(BaseTTS):
 
     MAX_MODEL_CHARS = 4000
     BYTES_PER_CHAR_ESTIMATE = 500_000
+    # One batched device call synthesizes all segments of an item (the
+    # model folds them into one prefill + one scan decode).
+    supports_batch_generation = True
 
     def __init__(
         self,

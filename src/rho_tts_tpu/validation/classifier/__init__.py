@@ -23,6 +23,7 @@ logger = logging.getLogger(__name__)
 # Per-voice caches: cache_key -> (model, optimal_threshold)
 _models: Dict[str, object] = {}
 _thresholds: Dict[str, float] = {}
+_forest_arrays: Dict[str, object] = {}  # on-device forest form (see forest_jax)
 
 _DEFAULT_THRESHOLD = 0.18
 
@@ -40,6 +41,7 @@ def clear_cache() -> None:
     """Drop all cached models (used by tests and the UI on retrain)."""
     _models.clear()
     _thresholds.clear()
+    _forest_arrays.clear()
 
 
 def _load_model(model_path: Optional[str] = None, voice_id: Optional[str] = None):
@@ -81,6 +83,16 @@ def _load_model(model_path: Optional[str] = None, voice_id: Optional[str] = None
     else:
         _models[cache_key] = model_data
         _thresholds[cache_key] = _DEFAULT_THRESHOLD
+    # Convert forests to the on-device array form where possible so drift
+    # scoring runs as one XLA program (falls back to sklearn otherwise).
+    try:
+        from .forest_jax import convert_forest
+
+        arrays = convert_forest(_models[cache_key])
+        if arrays is not None:
+            _forest_arrays[cache_key] = arrays
+    except Exception as exc:  # noqa: BLE001
+        logger.debug("Forest conversion skipped: %s", exc)
     logger.info("Voice quality classifier loaded from %s", model_path)
 
 
@@ -113,6 +125,12 @@ def predict_accent_drift_probability(
     feat = extract_features(audio, sample_rate=sample_rate)
     if feat is None:
         return None
+
+    arrays = _forest_arrays.get(cache_key)
+    if arrays is not None:
+        from .forest_jax import predict_proba as forest_predict
+
+        return float(forest_predict(arrays, feat)[0])
 
     with warnings.catch_warnings():
         warnings.filterwarnings("ignore", message=".*does not have valid feature names.*")

@@ -21,6 +21,8 @@ import os
 import re
 from typing import Optional, Tuple, Union
 
+import numpy as np
+
 from .number_normalizer import normalize_numbers_to_digits
 
 logger = logging.getLogger(__name__)
@@ -95,12 +97,13 @@ def transcribe_audio(audio: Union[str, Tuple], sample_rate: Optional[int] = None
 
 
 def _levenshtein_distance(s1: str, s2: str) -> int:
-    try:
-        from ... import _native  # type: ignore
+    if s1.isascii() and s2.isascii():  # byte-level == char-level for ASCII
+        try:
+            from ... import _native  # type: ignore
 
-        return _native.levenshtein(s1, s2)
-    except Exception:
-        pass
+            return _native.levenshtein(s1, s2)
+        except Exception:
+            pass
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     if not s2:
@@ -150,6 +153,47 @@ def calculate_text_similarity(original_text: str, transcribed_text: str) -> floa
     ratio = total / len(orig_words)
     seq = SequenceMatcher(None, orig_norm, trans_norm).ratio()
     return max(jaccard, ratio, seq)
+
+
+def validate_audio_text_match_batch(
+    audios,
+    expected_texts,
+    threshold: float = 0.85,
+):
+    """Batched validation: one transcription program for the whole batch.
+
+    ``audios`` is a list of (waveform, sample_rate) pairs or paths.
+    Returns a list of (is_valid, similarity, transcription) tuples.
+    """
+    model = _get_transcriber()
+    if model is None:
+        return [(True, 0.0, None) for _ in audios]
+
+    wavs, srs = [], []
+    try:
+        for a in audios:
+            if isinstance(a, tuple):
+                wav, sr = a
+            else:
+                from ...audio_io import load_wav
+
+                wav, sr = load_wav(a)
+            wavs.append(np.asarray(wav, np.float32) if not isinstance(wav, np.ndarray) else wav)
+            srs.append(sr)
+        transcriptions = model.transcribe_batch(wavs, srs)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("Batched transcription failed: %s", e)
+        return [(True, 0.0, None) for _ in audios]
+
+    out = []
+    for text, transcribed in zip(expected_texts, transcriptions):
+        transcribed = (transcribed or "").strip()
+        if not transcribed:
+            out.append((True, 0.0, None))
+            continue
+        sim = calculate_text_similarity(text, transcribed)
+        out.append((sim >= threshold, sim, transcribed))
+    return out
 
 
 def validate_audio_text_match(
