@@ -138,6 +138,8 @@ def main():
         return bench_pipeline()
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
+    quant = os.environ.get("BENCH_QUANT", "int8")  # weight-only int8 is the serving default
+    quant = None if quant in ("", "none", "bf16") else quant
     batch = int(os.environ.get("BENCH_BATCH", "5"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "128"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
@@ -159,8 +161,12 @@ def main():
 
     t0 = time.time()
     params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+    if quant == "int8":
+        from rho_tts_tpu.models.quantization import quantize_stack
+
+        params = {**params, "talker": quantize_stack(params["talker"])}
     sync(params["lm_head"].astype(jnp.float32))
-    log(f"param init: {time.time() - t0:.1f}s")
+    log(f"param init: {time.time() - t0:.1f}s (quant={quant})")
 
     s = prompt_len + n_chunks * CHUNK
     embeds = jax.random.normal(
@@ -237,7 +243,7 @@ def main():
     log(f"RTF: {audio_sec:.1f} audio-sec / {wall:.2f} wall-sec = {rtf:.1f}x")
 
     print(json.dumps({
-        "metric": f"qwen_{preset}_batch{batch}_decode_rtf_per_chip",
+        "metric": f"qwen_{preset}{'_' + quant if quant else ''}_batch{batch}_decode_rtf_per_chip",
         "value": round(float(rtf), 2),
         "unit": "x_realtime",
         "vs_baseline": round(float(rtf) / 20.0, 3),

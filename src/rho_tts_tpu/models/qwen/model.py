@@ -242,6 +242,7 @@ class QwenTTSModel:
         params: Optional[Params] = None,
         model_path: Optional[str] = None,
         seed: int = 0,
+        quantization: Optional[str] = None,
     ):
         self.config = config
         self.model_path = model_path or config.name
@@ -251,6 +252,15 @@ class QwenTTSModel:
             params = jax.jit(init_params, static_argnums=1)(
                 jax.random.PRNGKey(seed), config
             )
+        if quantization == "int8":
+            # Weight-only int8 on the talker: halves decode HBM traffic
+            # (inference only — training uses dense weights).
+            from ..quantization import quantize_stack
+
+            params = {**params, "talker": quantize_stack(params["talker"])}
+        elif quantization not in (None, "none"):
+            raise ValueError(f"Unsupported quantization: {quantization}")
+        self.quantization = quantization
         self.params = params
         self.sample_rate = config.codec.sample_rate
         self._ref_codes_cache: Dict[str, np.ndarray] = {}
@@ -258,7 +268,9 @@ class QwenTTSModel:
     # -- Loading -----------------------------------------------------------
 
     @classmethod
-    def from_pretrained(cls, model_path: str, seed: int = 0) -> "QwenTTSModel":
+    def from_pretrained(
+        cls, model_path: str, seed: int = 0, quantization: Optional[str] = None
+    ) -> "QwenTTSModel":
         """Build from a local checkpoint dir (safetensors) or a preset name.
 
         Without checkpoint files the model runs with deterministic random
@@ -282,7 +294,9 @@ class QwenTTSModel:
                 model_path,
                 cfg.name,
             )
-        return cls(cfg, params=params, model_path=model_path, seed=seed)
+        return cls(
+            cfg, params=params, model_path=model_path, seed=seed, quantization=quantization
+        )
 
     # -- Reference audio conditioning --------------------------------------
 

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .quantization import matmul as qmm
+
 Params = Dict[str, Any]
 
 
@@ -178,7 +180,7 @@ def block_forward(
     scale = 1.0 / np.sqrt(cfg.head_dim)
 
     h = rms_norm(x, params["attn_norm"], cfg.rms_eps)
-    qkv = h @ params["wqkv"]
+    qkv = qmm(h, params["wqkv"])
     q, k, v = _split_qkv(qkv, cfg)
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
@@ -231,12 +233,12 @@ def block_forward(
         new_cache = (k, v)
 
     attn = attn.reshape(b, t, cfg.q_heads * cfg.head_dim).astype(x.dtype)
-    x = x + attn @ params["wo"]
+    x = x + qmm(attn, params["wo"])
 
     h = rms_norm(x, params["mlp_norm"], cfg.rms_eps)
-    gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32))
-    up = (h @ params["w_up"]).astype(jnp.float32)
-    x = x + ((gate * up).astype(x.dtype) @ params["w_down"])
+    gate = jax.nn.silu(qmm(h, params["w_gate"]).astype(jnp.float32))
+    up = qmm(h, params["w_up"]).astype(jnp.float32)
+    x = x + qmm((gate * up).astype(x.dtype), params["w_down"])
     return x, new_cache
 
 

@@ -77,6 +77,7 @@ class QwenTTS(BaseTTS):
         sound_decay_threshold: float = 0.3,
         drift_model_path: Optional[str] = None,
         phonetic_mapping: Optional[Dict[str, str]] = None,
+        quantization: Optional[str] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -93,6 +94,7 @@ class QwenTTS(BaseTTS):
         self.voice_cloning = reference_audio is not None
         self.model_path = model_path
         self.drift_model_path = drift_model_path
+        self.quantization = quantization
 
         self._max_chars_explicit = max_chars_per_segment is not None
         self.max_chars_per_segment = (
@@ -116,7 +118,9 @@ class QwenTTS(BaseTTS):
             from ..models.qwen import QwenTTSModel
 
             logger.info("Loading Qwen-TTS model '%s'...", self.model_path)
-            self._model = QwenTTSModel.from_pretrained(self.model_path, seed=self.seed)
+            self._model = QwenTTSModel.from_pretrained(
+                self.model_path, seed=self.seed, quantization=self.quantization
+            )
             # Refine max model chars from the checkpoint's context length
             mpe = self._model.config.max_position_embeddings
             if mpe:

@@ -100,3 +100,28 @@ def test_loudness_postprocess_applied(custom_voice_tts):
     out = np.asarray(custom_voice_tts._post_process_audio(x))
     rms_db = 20 * np.log10(np.sqrt(np.mean(out.astype(np.float64) ** 2)))
     assert -26 < rms_db < -20  # normalized toward -23 dBFS
+
+
+def test_int8_quantized_generation(tmp_path):
+    tts = QwenTTS(
+        device="cpu",
+        model_path="tiny-CustomVoice",
+        speaker="Aria",
+        max_iterations=1,
+        max_chars_per_segment=200,
+        quantization="int8",
+    )
+    result = tts.generate("Quantized generation check")
+    assert result is not None
+    assert result.audio is not None
+    talker = tts._model.params["talker"]["blocks"]
+    import jax.numpy as jnp
+
+    assert talker["wqkv"]["q"].dtype == jnp.int8
+
+
+def test_invalid_quantization_rejected():
+    tts = QwenTTS(device="cpu", model_path="tiny-CustomVoice", speaker="Aria",
+                  quantization="int4")
+    with pytest.raises(ValueError, match="quantization"):
+        tts._load_model()
