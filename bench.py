@@ -99,11 +99,15 @@ def bench_pipeline():
     from rho_tts_tpu.providers.qwen import QwenTTS
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
     tts = QwenTTS(
         model_path=f"{preset}-CustomVoice",
         speaker="Vivian",
         max_iterations=1,
         max_chars_per_segment=400,
+        quantization=quant,
+        min_audio_sec=10.0,  # random weights would otherwise EOS instantly
     )
     texts = ["This is a benchmark sentence for the full pipeline. " * 3] * 5
 

@@ -157,6 +157,8 @@ def _decode_chunk(
     done: jnp.ndarray,  # (B,) bool
     rng: jnp.ndarray,
     temperature: jnp.ndarray,
+    step_base: jnp.ndarray,  # scalar int32: global frame index of step 0
+    min_frames: jnp.ndarray,  # scalar int32: EOS suppressed below this
     steps: int,
     top_k: int,
 ):
@@ -189,6 +191,11 @@ def _decode_chunk(
         logits = h_last.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
 
         rng, k = jax.random.split(rng)
+        # Enforce a minimum duration: EOS is masked below min_frames
+        suppress = (step_base + t) < min_frames
+        logits = jnp.where(
+            suppress, logits.at[:, cfg.audio_eos].set(-1e30), logits
+        )
         tok0 = _sample_token(logits, k, temperature, top_k)
         newly_done = tok0 == cfg.audio_eos
         tok0 = jnp.where(done, cfg.audio_pad, tok0)
@@ -376,12 +383,18 @@ class QwenTTSModel:
         ref_audio: Optional[str] = None,
         ref_text: Optional[str] = None,
         max_frames: Optional[int] = None,
+        min_frames: int = 0,
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
     ) -> List[np.ndarray]:
-        """Run prefill + chunked AR decode; returns per-text code arrays."""
+        """Run prefill + chunked AR decode; returns per-text code arrays.
+
+        ``min_frames`` masks the EOS token for the first N frames —
+        a minimum-duration floor (also used by throughput benchmarks so
+        random-weight models don't terminate immediately).
+        """
         cfg = self.config
         b = len(texts)
         temperature = cfg.temperature if temperature is None else temperature
@@ -417,6 +430,8 @@ class QwenTTSModel:
             )
 
         rng, k0 = jax.random.split(rng)
+        if min_frames > 0:
+            logits = logits.at[:, cfg.audio_eos].set(-1e30)
         tok0 = _sample_token(logits, k0, jnp.float32(temperature), top_k)
         # First frame's residual codes come from the prefill hidden state via
         # the same greedy head; approximate with zeros for frame 0 residuals.
@@ -458,6 +473,8 @@ class QwenTTSModel:
                     done,
                     rng,
                     jnp.float32(temperature),
+                    slot0 - jnp.int32(p) + 1,
+                    jnp.int32(min_frames),
                     CHUNK,
                     top_k,
                 )
@@ -484,6 +501,7 @@ class QwenTTSModel:
         ref_audio: Optional[str] = None,
         ref_text: Optional[str] = None,
         max_frames: Optional[int] = None,
+        min_frames: int = 0,
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         rng: Optional[jnp.ndarray] = None,
@@ -499,6 +517,7 @@ class QwenTTSModel:
             ref_audio=ref_audio,
             ref_text=ref_text,
             max_frames=max_frames,
+            min_frames=min_frames,
             temperature=temperature,
             top_k=top_k,
             rng=rng,

@@ -78,6 +78,7 @@ class QwenTTS(BaseTTS):
         drift_model_path: Optional[str] = None,
         phonetic_mapping: Optional[Dict[str, str]] = None,
         quantization: Optional[str] = None,
+        min_audio_sec: float = 0.0,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -95,6 +96,7 @@ class QwenTTS(BaseTTS):
         self.model_path = model_path
         self.drift_model_path = drift_model_path
         self.quantization = quantization
+        self.min_audio_sec = min_audio_sec
 
         self._max_chars_explicit = max_chars_per_segment is not None
         self.max_chars_per_segment = (
@@ -173,12 +175,14 @@ class QwenTTS(BaseTTS):
                 "reference audio."
             )
 
+        min_frames = int(self.min_audio_sec * model.config.codec.frame_rate)
         waves, _sr = model.synthesize(
             text_list,
             speaker=self.speaker if is_custom_voice else None,
             language=self.language,
             ref_audio=self.reference_audio_path if not is_custom_voice else None,
             ref_text=self.reference_text if not is_custom_voice else None,
+            min_frames=min_frames,
             rng=self.next_rng(),
         )
         return waves[0] if is_single else waves
