@@ -109,9 +109,15 @@ def bench_pipeline():
         quantization=quant,
         min_audio_sec=10.0,  # random weights would otherwise EOS instantly
     )
+    # Random-weight vocoder output is quieter than the -50 dB trim gate;
+    # disable trimming so the bench measures real audio durations.
+    tts.trim_silence = False
     texts = ["This is a benchmark sentence for the full pipeline. " * 3] * 5
+    from rho_tts_tpu.utils import profiling
 
-    r = tts.generate(texts[0])  # warmup/compile
+    tts.generate(texts)  # warmup/compile at the measured batch shapes
+    from rho_tts_tpu.utils import profiling as _prof
+    _prof.reset()
     t0 = time.time()
     results = tts.generate(texts)
     wall = time.time() - t0
@@ -120,6 +126,8 @@ def bench_pipeline():
     rtf = audio_sec / wall if wall > 0 else 0.0
     log(f"pipeline: {segs} validated segment(s), {audio_sec:.1f} s audio in {wall:.1f} s"
         f" → RTF {rtf:.1f}, {segs / wall * 60:.0f} seg/min")
+    for name, st in profiling.summary().items():
+        log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
     print(json.dumps({
         "metric": f"qwen_{preset}_pipeline_rtf_per_chip",
         "value": round(rtf, 2),

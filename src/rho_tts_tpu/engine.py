@@ -356,10 +356,9 @@ class BaseTTS(ABC):
 
     def _validate_sound_decay(self, audio) -> tuple:
         """(ratio, is_ok) where ratio = last-third RMS / first-third RMS."""
-        a = np.asarray(audio)
-        if a.size == 0:
+        if int(np.prod(audio.shape)) == 0:
             return 1.0, True
-        ratio = dsp.sound_decay_ratio(a)
+        ratio = dsp.sound_decay_ratio(audio)
         threshold = getattr(self, "sound_decay_threshold", 0.3)
         return ratio, ratio >= threshold
 
@@ -397,6 +396,21 @@ class BaseTTS(ABC):
             fade_in=fade_in,
             fade_out=fade_out,
         )
+
+    def _fused_finalize_mode(self):
+        """Whether the one-segment finalize chain can run as one program.
+
+        "plain" when the provider keeps the default (no-op) post-processing,
+        "loudness" when it declares its post-processing IS the standard
+        loudness chain (``post_process_is_loudness``), else None → generic
+        multi-dispatch path.
+        """
+        overridden = type(self)._post_process_audio is not BaseTTS._post_process_audio
+        if not overridden:
+            return "plain"
+        if getattr(self, "post_process_is_loudness", False):
+            return "loudness"
+        return None
 
     def _smooth_segment_join(self, audio_segments: List):
         return dsp.smooth_segment_join(
@@ -611,9 +625,161 @@ class BaseTTS(ABC):
                     f"    Segment {i + 1}: max iterations reached, returning last audio"
                 )
 
-        drift_scores = [best_drift[i] for i in range(n) if best_drift[i] != float("inf")]
-        text_sims = [s for s in best_sim if s is not None]
-        return best, drift_scores, text_sims
+        return best, best_drift, best_sim
+
+    # -- Item finalization (join + post-process + decay check) -----------------
+
+    def _finalize_item(self, audio_segments: List):
+        """Join segments, post-process, and compute the decay verdict.
+
+        Returns (final_audio, decay_ratio, is_decay_ok); final_audio is
+        None when joining failed. Uses the fully fused single-segment
+        program when the provider allows it.
+        """
+        fused_mode = self._fused_finalize_mode() if len(audio_segments) == 1 else None
+        if fused_mode is not None:
+            with profiling.stage("dsp/finalize_fused"):
+                final_audio, decay_ratio = dsp.finalize_segment(
+                    audio_segments[0],
+                    self.sample_rate,
+                    trim=self.trim_silence,
+                    silence_threshold_db=self.silence_threshold_db,
+                    fade_duration_sec=self.fade_duration_sec,
+                    loudness=(fused_mode == "loudness"),
+                )
+            custom_decay = (
+                "_validate_sound_decay" in self.__dict__
+                or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
+            )
+            if custom_decay:
+                decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
+            else:
+                is_decay_ok = decay_ratio >= self.sound_decay_threshold
+            return final_audio, decay_ratio, is_decay_ok
+
+        with profiling.stage("dsp/segment_join"):
+            final_audio = self._smooth_segment_join(audio_segments)
+        if final_audio is None:
+            return None, 0.0, True
+        try:
+            with profiling.stage("dsp/postprocess"):
+                final_audio = self._post_process_audio(final_audio)
+        except Exception as e:  # noqa: BLE001
+            logger.warning(f"  Post-processing failed ({e}), using raw audio")
+        decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
+        return final_audio, decay_ratio, is_decay_ok
+
+    # -- Cross-item batched pipeline -------------------------------------------
+
+    def _run_pipeline_batched_items(
+        self,
+        mapped_texts: List[str],
+        token: CancellationToken,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ) -> List[Optional[Tuple[object, int, dict]]]:
+        """Batched pipeline: ALL items' segments share device calls.
+
+        Per-item semantics (validation gates, best-by-drift fallback, decay
+        regeneration up to max_decay_retries, worst-case metadata) match
+        the sequential pipeline; only the batching is wider — the flattened
+        (item, segment) list is generated/validated together, and decay
+        retries re-batch only the failing items.
+        """
+        n = len(mapped_texts)
+        effective_max_chars = self._compute_max_chars()
+        items_segments = [
+            self._split_text_into_segments(t, effective_max_chars) for t in mapped_texts
+        ]
+        for idx, (t, segs) in enumerate(zip(mapped_texts, items_segments)):
+            logger.info(
+                f"Text item {idx + 1}: {len(t)} chars -> {len(segs)} segment(s)"
+            )
+
+        final_audio: List = [None] * n
+        decay_ratio: List[float] = [0.0] * n
+        item_drift: List[List[float]] = [[] for _ in range(n)]
+        item_sim: List[List[float]] = [[] for _ in range(n)]
+        seg_counts: List[int] = [0] * n
+
+        active = [i for i in range(n) if items_segments[i]]
+
+        for decay_attempt in range(self.max_decay_retries):
+            if token.is_cancelled():
+                raise CancelledException("Cancelled during batched pipeline")
+            if decay_attempt > 0:
+                self.seed = int(time.time() * 1000) % 100000
+                logger.warning(
+                    f"  Sound decay detected on {len(active)} item(s), regenerating "
+                    f"(attempt {decay_attempt + 1}/{self.max_decay_retries})"
+                )
+
+            flat: List[str] = []
+            spans: List[Tuple[int, int]] = []  # (item, n_segments)
+            for i in active:
+                flat.extend(items_segments[i])
+                spans.append((i, len(items_segments[i])))
+
+            audios, pos_drift, pos_sim = self._generate_segments_batched(
+                flat, token, progress_callback
+            )
+
+            pos = 0
+            next_active = []
+            for i, k in spans:
+                segs_audio = [a for a in audios[pos : pos + k] if a is not None]
+                drifts = [d for d in pos_drift[pos : pos + k] if d != float("inf")]
+                sims = [x for x in pos_sim[pos : pos + k] if x is not None]
+                pos += k
+
+                if len(segs_audio) < k:
+                    logger.error(
+                        f"  Item {i + 1}: {k - len(segs_audio)} segment(s) failed"
+                    )
+                if not segs_audio:
+                    final_audio[i] = None
+                    continue
+
+                audio, ratio, decay_ok = self._finalize_item(segs_audio)
+                final_audio[i] = audio
+                decay_ratio[i] = ratio
+                item_drift[i] = drifts
+                item_sim[i] = sims
+                seg_counts[i] = len(segs_audio)
+                if audio is None:
+                    continue
+                logger.info(
+                    f"  Item {i + 1} sound decay ratio: {ratio:.3f} "
+                    f"(threshold: {self.sound_decay_threshold})"
+                )
+                if not decay_ok:
+                    next_active.append(i)
+
+            active = next_active
+            if not active:
+                break
+        else:
+            for i in active:
+                if final_audio[i] is not None:
+                    logger.warning(
+                        f"  Item {i + 1}: sound decay persisted after "
+                        f"{self.max_decay_retries} attempt(s) "
+                        f"(ratio={decay_ratio[i]:.3f}), returning best available audio"
+                    )
+
+        results: List[Optional[Tuple[object, int, dict]]] = []
+        for i in range(n):
+            if final_audio[i] is None:
+                logger.error(f"Item {i + 1} failed: no audio generated")
+                results.append(None)
+                continue
+            metadata: dict = {}
+            if item_drift[i]:
+                metadata["drift_prob"] = max(item_drift[i])
+            if item_sim[i]:
+                metadata["text_similarity"] = min(item_sim[i])
+            metadata["decay_ratio"] = decay_ratio[i]
+            results.append((final_audio[i], seg_counts[i], metadata))
+        return results
 
     # -- Core pipeline ---------------------------------------------------------
 
@@ -635,6 +801,11 @@ class BaseTTS(ABC):
         results: List[Optional[Tuple[object, int, dict]]] = []
 
         logger.info(f"Generating audio for {len(mapped_texts)} text item(s)...")
+
+        if self.supports_batch_generation:
+            return self._run_pipeline_batched_items(
+                mapped_texts, token, progress_callback
+            )
 
         for idx, text in enumerate(mapped_texts):
             if token.is_cancelled():
@@ -668,9 +839,11 @@ class BaseTTS(ABC):
                 item_text_sim_scores = []
 
                 if self.supports_batch_generation and len(segments) > 1:
-                    audios, item_drift_scores, item_text_sim_scores = (
-                        self._generate_segments_batched(segments, token, progress_callback)
+                    audios, pos_drift, pos_sim = self._generate_segments_batched(
+                        segments, token, progress_callback
                     )
+                    item_drift_scores = [d for d in pos_drift if d != float("inf")]
+                    item_text_sim_scores = [x for x in pos_sim if x is not None]
                     for i, a in enumerate(audios):
                         if a is None:
                             logger.error(f"  Segment {i + 1} failed to generate")
@@ -826,6 +999,39 @@ class BaseTTS(ABC):
                 if not audio_segments:
                     break
 
+                fused_mode = (
+                    self._fused_finalize_mode() if len(audio_segments) == 1 else None
+                )
+                if fused_mode is not None:
+                    # One fused program: trim+DC+fades(+loudness)+decay with
+                    # a single host sync (vs ~10 relay round-trips).
+                    with profiling.stage("dsp/finalize_fused"):
+                        final_audio, decay_ratio = dsp.finalize_segment(
+                            audio_segments[0],
+                            self.sample_rate,
+                            trim=self.trim_silence,
+                            silence_threshold_db=self.silence_threshold_db,
+                            fade_duration_sec=self.fade_duration_sec,
+                            loudness=(fused_mode == "loudness"),
+                        )
+                    # Custom/mocked decay validators still get the final say
+                    custom_decay = (
+                        "_validate_sound_decay" in self.__dict__
+                        or type(self)._validate_sound_decay
+                        is not BaseTTS._validate_sound_decay
+                    )
+                    if custom_decay:
+                        decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
+                    else:
+                        is_decay_ok = decay_ratio >= decay_thresh
+                    logger.info(
+                        f"  Item {idx + 1} sound decay ratio: {decay_ratio:.3f} "
+                        f"(threshold: {decay_thresh})"
+                    )
+                    if is_decay_ok:
+                        break
+                    continue
+
                 with profiling.stage("dsp/segment_join"):
                     final_audio = self._smooth_segment_join(audio_segments)
 
@@ -936,7 +1142,7 @@ class BaseTTS(ABC):
                         final_audio, speed, pitch_semitones
                     )
 
-                num_samples = int(np.asarray(final_audio).reshape(-1).shape[0])
+                num_samples = int(np.prod(final_audio.shape))  # no host transfer
                 duration_sec = num_samples / self.sample_rate
 
                 result = GenerationResult(
@@ -1074,7 +1280,7 @@ class BaseTTS(ABC):
             if speed != 1.0 or pitch_semitones != 0.0:
                 audio = self._apply_speed_pitch(audio, speed, pitch_semitones)
 
-            num_samples = int(np.asarray(audio).reshape(-1).shape[0])
+            num_samples = int(np.prod(audio.shape))  # no host transfer
 
             yield GenerationResult(
                 audio=audio,

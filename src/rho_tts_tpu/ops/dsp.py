@@ -332,8 +332,7 @@ def sound_decay_ratio(audio) -> float:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("window_samples", "max_windows", "capacity"))
-def _loudness_core(
+def _loudness_masked(
     buf: jnp.ndarray,
     length: jnp.ndarray,
     window_samples: int,
@@ -342,11 +341,7 @@ def _loudness_core(
     target_rms_db: float,
     max_gain_db: float,
 ):
-    """Fused decay-correction + global RMS normalization + tanh soft clip.
-
-    Operates on a zero-padded buffer with ``length`` valid samples; padding
-    stays exactly zero on output.
-    """
+    """Traced body of the loudness chain (see ``_loudness_core``)."""
     n_f = length.astype(jnp.float32)
     valid = jnp.arange(capacity) < length
     x = jnp.where(valid, buf, 0.0)
@@ -414,6 +409,26 @@ def _loudness_core(
     return jnp.where(valid, out, 0.0)
 
 
+@partial(jax.jit, static_argnames=("window_samples", "max_windows", "capacity"))
+def _loudness_core(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    window_samples: int,
+    max_windows: int,
+    capacity: int,
+    target_rms_db: float,
+    max_gain_db: float,
+):
+    """Fused decay-correction + global RMS normalization + tanh soft clip.
+
+    Operates on a zero-padded buffer with ``length`` valid samples; padding
+    stays exactly zero on output.
+    """
+    return _loudness_masked(
+        buf, length, window_samples, max_windows, capacity, target_rms_db, max_gain_db
+    )
+
+
 def loudness_postprocess(
     audio,
     sample_rate: int,
@@ -450,3 +465,164 @@ def loudness_postprocess(
         float(max_gain_db),
     )
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Fused single-segment finalize (one device program, one host sync)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window",
+        "stride",
+        "fade_samples",
+        "window_samples",
+        "max_windows",
+        "capacity",
+        "trim",
+        "loudness",
+    ),
+)
+def _finalize_core(
+    buf: jnp.ndarray,
+    length: jnp.ndarray,
+    threshold: jnp.ndarray,
+    window: int,
+    stride: int,
+    fade_samples: int,
+    window_samples: int,
+    max_windows: int,
+    capacity: int,
+    trim: bool,
+    loudness: bool,
+    target_rms_db: float,
+    max_gain_db: float,
+):
+    """Trim → DC removal → fades → (loudness) → decay ratio, fully fused.
+
+    Numerically identical to composing the individual ops (each stage is
+    the same masked math); exists so the common one-segment-per-item path
+    costs ONE dispatch + ONE host fetch instead of ~10 relay round-trips.
+    Returns (out_buffer, new_length, decay_ratio).
+    """
+    if trim:
+        padding = window // 2
+        x2 = buf * buf
+        padded = jnp.pad(x2, (padding, window))
+        n_windows_max = (capacity + 2 * padding - window) // stride + 1
+        sums = jax.lax.reduce_window(
+            padded, 0.0, jax.lax.add,
+            window_dimensions=(window,), window_strides=(stride,), padding="valid",
+        )[:n_windows_max]
+        energy = jnp.sqrt(sums / window)
+        n_windows = jnp.maximum((length + 2 * padding - window) // stride + 1, 0)
+        widx = jnp.arange(energy.shape[0])
+        non_silent = (energy > threshold) & (widx < n_windows)
+        any_ns = jnp.any(non_silent)
+        first = jnp.argmax(non_silent)
+        last = energy.shape[0] - 1 - jnp.argmax(non_silent[::-1])
+        start = jnp.where(any_ns, first * window // 2, 0)
+        end = jnp.where(any_ns, (last + 2) * window // 2, jnp.int32(window))
+        start = jnp.clip(start, 0, length)
+        end = jnp.clip(end, start, length)
+    else:
+        start = jnp.int32(0)
+        end = length
+
+    new_len = (end - start).astype(jnp.int32)
+    shifted = jax.lax.dynamic_slice(
+        jnp.pad(buf, (0, capacity)), (start.astype(jnp.int32),), (capacity,)
+    )
+    idx = jnp.arange(capacity)
+    valid = idx < new_len
+    x = jnp.where(valid, shifted, 0.0)
+
+    # DC removal over the valid region
+    mean = jnp.sum(x) / jnp.maximum(new_len.astype(jnp.float32), 1.0)
+    x = jnp.where(valid, x - mean, 0.0)
+
+    # Raised-cosine fades (skipped when shorter than two fades)
+    if fade_samples >= 1:
+        theta_in = idx.astype(jnp.float32) * (np.pi / max(fade_samples - 1, 1))
+        gain_in = jnp.where(
+            idx < fade_samples, 0.5 * (1.0 - jnp.cos(theta_in)), 1.0
+        )
+        pos_out = (idx - (new_len - fade_samples)).astype(jnp.float32)
+        theta_out = pos_out * (np.pi / max(fade_samples - 1, 1))
+        gain_out = jnp.where(
+            (idx >= new_len - fade_samples) & valid,
+            0.5 * (1.0 + jnp.cos(theta_out)),
+            1.0,
+        )
+        apply_fade = new_len >= 2 * fade_samples
+        x = jnp.where(apply_fade, x * gain_in * gain_out, x)
+
+    if loudness:
+        x = _loudness_masked(
+            x, new_len, window_samples, max_windows, capacity, target_rms_db, max_gain_db
+        )
+
+    # Sound-decay ratio (thirds of the valid region)
+    third = new_len // 3
+    denom = jnp.maximum(third.astype(jnp.float32), 1.0)
+    first_mask = idx < third
+    last_mask = (idx >= new_len - third) & valid
+    first_rms = jnp.sqrt(jnp.sum(jnp.where(first_mask, x * x, 0.0)) / denom)
+    last_rms = jnp.sqrt(jnp.sum(jnp.where(last_mask, x * x, 0.0)) / denom)
+    ratio = jnp.where(
+        (third < 1) | (first_rms < 1e-8), 1.0, last_rms / jnp.maximum(first_rms, 1e-12)
+    )
+    return x, new_len, ratio
+
+
+def finalize_segment(
+    audio,
+    sample_rate: int,
+    trim: bool = True,
+    silence_threshold_db: float = -50.0,
+    fade_duration_sec: float = 0.02,
+    loudness: bool = False,
+    target_rms_db: float = -23.0,
+    loudness_window_sec: float = 2.0,
+    max_gain_db: float = 18.0,
+):
+    """Single-segment finalize chain in one fused program.
+
+    Equivalent to ``smooth_segment_join([audio])`` (+ optional
+    ``loudness_postprocess``) followed by ``sound_decay_ratio``, but with a
+    single dispatch. Returns (waveform, decay_ratio).
+    """
+    a = _as_f32_1d(audio)
+    n = int(a.shape[-1])
+    if n == 0:
+        return a, 1.0
+    window = int(sample_rate * 0.01)
+    stride = max(window // 2, 1)
+    if window < 2:
+        trim = False
+        window, stride = 2, 1
+    fade_samples = int(sample_rate * fade_duration_sec)
+    window_samples = int(sample_rate * loudness_window_sec)
+    capacity = bucket_size(n)
+    max_windows = max(capacity // window_samples, 1)
+    capacity = max(capacity, max_windows * window_samples)
+    buf = _pad_to(a, capacity)
+    out, new_len, ratio = _finalize_core(
+        buf,
+        jnp.int32(n),
+        jnp.float32(10.0 ** (silence_threshold_db / 20.0)),
+        window,
+        stride,
+        fade_samples,
+        window_samples,
+        max_windows,
+        int(buf.shape[-1]),
+        bool(trim),
+        bool(loudness),
+        float(target_rms_db),
+        float(max_gain_db),
+    )
+    new_len = int(new_len)
+    return out[:new_len], float(ratio)

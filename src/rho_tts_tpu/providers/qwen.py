@@ -58,6 +58,9 @@ class QwenTTS(BaseTTS):
     # One batched device call synthesizes all segments of an item (the
     # model folds them into one prefill + one scan decode).
     supports_batch_generation = True
+    # _post_process_audio is exactly the standard loudness chain, so the
+    # single-segment path may run the fully fused finalize program.
+    post_process_is_loudness = True
 
     def __init__(
         self,

@@ -144,3 +144,30 @@ def test_single_segment_uses_sequential_path():
     result = tts.generate("Just one segment here")
     assert result is not None
     assert tts.calls == [1]  # single segment → plain path
+
+
+def test_cross_item_batching_one_call():
+    """Multiple texts: ALL items' segments share one batched device call."""
+    tts = BatchFakeTTS()
+    results = tts.generate(["One. Two", "Three. Four. Five"])
+    assert results is not None and len(results) == 2
+    assert results[0].segments_count == 2
+    assert results[1].segments_count == 3
+    assert tts.calls == [5]  # 5 segments across 2 items → ONE call
+
+
+def test_decay_retry_rebatches_only_failed_items():
+    tts = BatchFakeTTS()
+    tts.max_decay_retries = 2
+    decay_seq = iter([(0.9, True), (0.1, False), (0.9, True)])
+
+    def decay_side_effect(audio):
+        return next(decay_seq)
+
+    with patch.object(tts, "_validate_sound_decay", side_effect=decay_side_effect):
+        results = tts.generate(["Aa. Bb", "Cc. Dd"])
+    # attempt 1: items batched together (4 segs); item 2 fails decay →
+    # attempt 2 re-batches only item 2's segments (2 segs)
+    assert tts.calls == [4, 2]
+    assert results[0] is not None and results[1] is not None
+    assert results[1].decay_ratio == pytest.approx(0.9)
