@@ -136,6 +136,44 @@ def bench_pipeline():
     }))
 
 
+def bench_chatterbox():
+    """Config 4: Chatterbox-class single-segment voice clone, full loop."""
+    import numpy as np
+
+    from rho_tts_tpu.audio_io import save_wav
+    from rho_tts_tpu.providers.chatterbox import ChatterboxTTS
+
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
+
+    ref = "/tmp/bench_ref.wav"
+    t = np.arange(24000 * 3) / 24000
+    save_wav(ref, (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32), 24000)
+
+    tts = ChatterboxTTS(
+        implementation=os.environ.get("BENCH_CB_IMPL", "standard"),
+        reference_audio=ref,
+        max_iterations=int(os.environ.get("BENCH_CB_ITERS", "1")),
+        max_chars_per_segment=400,
+        quantization=quant,
+    )
+    tts.trim_silence = False  # random-weight output sits under the trim gate
+    text = "A single segment regenerated with the full validation loop enabled."
+
+    tts.generate(text)  # warmup/compile
+    t0 = time.time()
+    result = tts.generate(text)
+    wall = time.time() - t0
+    rtf = result.duration_sec / wall if result else 0.0
+    log(f"chatterbox: {result.duration_sec if result else 0:.1f} s audio in {wall:.1f} s → RTF {rtf:.1f}")
+    print(json.dumps({
+        "metric": "chatterbox_single_segment_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -148,6 +186,8 @@ def main():
         return bench_scoring()
     if mode == "pipeline":
         return bench_pipeline()
+    if mode == "chatterbox":
+        return bench_chatterbox()
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     quant = os.environ.get("BENCH_QUANT", "int8")  # weight-only int8 is the serving default

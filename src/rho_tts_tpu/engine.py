@@ -33,7 +33,6 @@ import asyncio
 import logging
 import os
 import random
-import tempfile
 import time
 import traceback
 import uuid

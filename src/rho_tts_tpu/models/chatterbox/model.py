@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -203,20 +203,38 @@ def _vocode(params, cfg: ChatterboxConfig, tokens):
 class ChatterboxModel:
     """Voice-cloning TTS with conditionals caching and CFG decoding."""
 
-    def __init__(self, cfg: ChatterboxConfig, params: Optional[Params] = None, seed: int = 0):
+    def __init__(
+        self,
+        cfg: ChatterboxConfig,
+        params: Optional[Params] = None,
+        seed: int = 0,
+        quantization: Optional[str] = None,
+    ):
         self.cfg = cfg
         self.sr = cfg.codec.sample_rate
         self.tokenizer = load_tokenizer(None, vocab_size=cfg.text_vocab)
         if params is None:
             params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(seed), cfg)
+        if quantization == "int8":
+            from ..quantization import quantize_stack
+
+            params = {**params, "talker": quantize_stack(params["talker"])}
+        elif quantization not in (None, "none"):
+            raise ValueError(f"Unsupported quantization: {quantization}")
         self.params = params
         self._speaker_encoder = None
         self.conditionals: Optional[np.ndarray] = None  # active speaker embedding
 
     @classmethod
-    def from_pretrained(cls, device: str = "tpu", implementation: str = "standard", seed: int = 0):
+    def from_pretrained(
+        cls,
+        device: str = "tpu",
+        implementation: str = "standard",
+        seed: int = 0,
+        quantization: Optional[str] = None,
+    ):
         cfg = PRESETS.get(implementation, PRESETS["standard"])
-        return cls(cfg, seed=seed)
+        return cls(cfg, seed=seed, quantization=quantization)
 
     @property
     def speaker_encoder(self):

@@ -12,7 +12,7 @@ reference (``src/rho_tts/providers/qwen.py:218-266`` calls it opaquely).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

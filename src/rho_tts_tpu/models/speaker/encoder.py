@@ -13,7 +13,6 @@ batched into one device call (the reference loops per partial on GPU).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

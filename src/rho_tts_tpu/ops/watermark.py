@@ -14,7 +14,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 DEFAULT_KEY = 0x5EED
 _STRENGTH = 0.003  # ~ -50 dBFS relative to envelope

@@ -62,6 +62,7 @@ class ChatterboxTTS(BaseTTS):
         phonetic_mapping: Optional[Dict[str, str]] = None,
         temperature: float = 1.0,
         cfg_weight: float = 0.6,
+        quantization: Optional[str] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -87,7 +88,8 @@ class ChatterboxTTS(BaseTTS):
         from ..models.chatterbox import ChatterboxModel
 
         self.model = ChatterboxModel.from_pretrained(
-            device=device, implementation=implementation, seed=seed
+            device=device, implementation=implementation, seed=seed,
+            quantization=quantization,
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
         self.temperature = temperature

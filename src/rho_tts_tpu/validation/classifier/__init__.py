@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import warnings
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 
