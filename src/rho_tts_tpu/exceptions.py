@@ -1,27 +1,63 @@
 """Exception hierarchy for rho-tts-tpu.
 
 Every library error derives from :class:`RhoTTSError` so callers can catch
-the whole family with a single ``except`` clause.
+the whole family with a single ``except`` clause. Each exception carries an
+optional machine-readable ``code`` (surfaced over the isolation IPC so the
+parent process can rebuild the right type).
 
 Capability parity: reference ``src/rho_tts/exceptions.py:9-31``.
 """
 
+from __future__ import annotations
+
 
 class RhoTTSError(Exception):
-    """Base exception for all rho-tts-tpu errors."""
+    """Base class for all rho-tts-tpu errors."""
+
+    code = "error"
+
+    def __init__(self, message: str = "", *, details: dict | None = None):
+        super().__init__(message)
+        self.details = details or {}
 
 
 class ProviderNotFoundError(RhoTTSError):
-    """A requested TTS provider is not registered."""
+    """The requested TTS provider is not registered with the factory."""
+
+    code = "provider_not_found"
 
 
 class ModelLoadError(RhoTTSError):
-    """A TTS model failed to load (weights, config, or device placement)."""
+    """Model weights, config, or device placement failed to load."""
+
+    code = "model_load"
 
 
 class AudioGenerationError(RhoTTSError):
-    """Audio generation failed."""
+    """The synthesis path failed to produce audio."""
+
+    code = "audio_generation"
 
 
 class FormatConversionError(RhoTTSError):
-    """Audio format conversion failed or an unsupported format was requested."""
+    """Audio format conversion failed or the format is unsupported."""
+
+    code = "format_conversion"
+
+
+#: code → class, for rebuilding typed errors across the IPC boundary.
+ERROR_CODES = {
+    cls.code: cls
+    for cls in (
+        RhoTTSError,
+        ProviderNotFoundError,
+        ModelLoadError,
+        AudioGenerationError,
+        FormatConversionError,
+    )
+}
+
+
+def from_code(code: str, message: str) -> RhoTTSError:
+    """Rebuild a typed error from its wire representation."""
+    return ERROR_CODES.get(code, RhoTTSError)(message)

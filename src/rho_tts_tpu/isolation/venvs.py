@@ -1,8 +1,11 @@
 """Per-provider virtual environments, created lazily and cached.
 
-Venvs live under ``~/.rho_tts_tpu/venvs/<provider>/``. A marker file
-records a hash of the package source (pyproject for editable installs, or
-the release version), so dependency changes trigger exactly one reinstall.
+Layout: ``~/.rho_tts_tpu/venvs/<provider>/`` with a marker file recording
+a hash of the package source — pyproject.toml for editable installs (so a
+dependency edit triggers exactly one reinstall) or the release version
+otherwise. The module-level helpers (:func:`source_hash`,
+:func:`find_project_root`, :func:`pip_install`) are separable so tests can
+exercise them without touching real venvs.
 
 Capability parity: reference ``isolation/venv_manager.py``.
 """
@@ -15,11 +18,11 @@ import subprocess
 import sys
 import venv
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 logger = logging.getLogger(__name__)
 
-# provider name → extras key in pyproject.toml
+#: provider name → extras key in pyproject.toml
 PROVIDER_EXTRAS: Dict[str, str] = {
     "qwen": "qwen",
     "chatterbox": "chatterbox",
@@ -30,8 +33,8 @@ MARKER_FILE = ".rho_tts_tpu_installed"
 INSTALL_TIMEOUT_SEC = 600
 
 
-def _source_hash() -> str:
-    """Hash identifying the current package source / version."""
+def source_hash() -> str:
+    """Short hash identifying the current package source / version."""
     try:
         pyproject = Path(__file__).resolve().parents[3] / "pyproject.toml"
         if pyproject.exists():
@@ -46,8 +49,8 @@ def _source_hash() -> str:
         return "unknown"
 
 
-def _project_root() -> Optional[Path]:
-    """Nearest ancestor directory containing a pyproject.toml."""
+def find_project_root() -> Optional[Path]:
+    """Nearest ancestor directory containing a pyproject.toml (≤ 6 levels)."""
     current = Path(__file__).resolve().parent
     for _ in range(6):
         if (current / "pyproject.toml").exists():
@@ -56,8 +59,38 @@ def _project_root() -> Optional[Path]:
     return None
 
 
+def pip_install(python: str, extras_key: str) -> None:
+    """Install this package (+extras) into the interpreter's environment.
+
+    Editable install when running from a source tree, PyPI otherwise.
+
+    Raises:
+        RuntimeError: when pip exits nonzero (stderr tail included).
+    """
+    root = find_project_root()
+    if root is not None:
+        spec: List[str] = ["-e", f"{root}[{extras_key}]"]
+        human = f"-e {root}[{extras_key}]"
+    else:
+        spec = [f"rho-tts-tpu[{extras_key}]"]
+        human = spec[0]
+
+    cmd = [python, "-m", "pip", "install", *spec]
+    logger.info("Installing %s (this may take a few minutes)...", human)
+    result = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=INSTALL_TIMEOUT_SEC
+    )
+    if result.returncode != 0:
+        logger.error("pip install failed:\n%s", result.stderr)
+        raise RuntimeError(
+            f"Failed to install dependencies ({human}).\n"
+            f"Command: {' '.join(cmd)}\nstderr: {result.stderr[-500:]}"
+        )
+    logger.info("Installation complete (%s)", human)
+
+
 class VenvManager:
-    """Creates and maintains one isolated venv per provider."""
+    """One isolated venv per provider, built on the helpers above."""
 
     def __init__(self, provider: str, venvs_root: Optional[Path] = None):
         if provider not in PROVIDER_EXTRAS:
@@ -70,51 +103,32 @@ class VenvManager:
 
     @property
     def python(self) -> str:
-        """The venv's Python interpreter path."""
-        if sys.platform == "win32":
-            return str(self.venv_dir / "Scripts" / "python.exe")
-        return str(self.venv_dir / "bin" / "python")
+        """The venv's interpreter path (platform-aware)."""
+        sub = ("Scripts", "python.exe") if sys.platform == "win32" else ("bin", "python")
+        return str(self.venv_dir.joinpath(*sub))
+
+    @property
+    def marker(self) -> Path:
+        return self.venv_dir / MARKER_FILE
+
+    def is_current(self) -> bool:
+        """True when the installed marker matches the current source hash."""
+        return self.marker.exists() and self.marker.read_text().strip() == source_hash()
 
     def ensure_venv(self) -> str:
-        """Create the venv + install deps if stale. Returns the python path."""
-        marker = self.venv_dir / MARKER_FILE
-        current_hash = _source_hash()
-
-        if marker.exists() and marker.read_text().strip() == current_hash:
+        """Create + install if stale; return the interpreter path."""
+        if self.is_current():
             logger.debug("Venv for '%s' is up to date", self.provider)
             return self.python
 
         logger.info(
             "Setting up isolated environment for '%s' (one-time)...", self.provider
         )
-
         if not self.venv_dir.exists() or not Path(self.python).exists():
             self.venv_dir.mkdir(parents=True, exist_ok=True)
             venv.create(str(self.venv_dir), with_pip=True, clear=True)
 
-        self._install()
-        marker.write_text(current_hash)
+        pip_install(self.python, self.extras_key)
+        self.marker.write_text(source_hash())
         logger.info("Isolated environment for '%s' ready", self.provider)
         return self.python
-
-    def _install(self) -> None:
-        """pip-install this package (+extras) into the venv."""
-        root = _project_root()
-        if root is not None:
-            spec = f"{root}[{self.extras_key}]"
-            cmd = [self.python, "-m", "pip", "install", "-e", spec]
-        else:
-            spec = f"rho-tts-tpu[{self.extras_key}]"
-            cmd = [self.python, "-m", "pip", "install", spec]
-
-        logger.info("Installing %s (this may take a few minutes)...", spec)
-        result = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=INSTALL_TIMEOUT_SEC
-        )
-        if result.returncode != 0:
-            logger.error("pip install failed:\n%s", result.stderr)
-            raise RuntimeError(
-                f"Failed to install dependencies for '{self.provider}'.\n"
-                f"Command: {' '.join(cmd)}\nstderr: {result.stderr[-500:]}"
-            )
-        logger.info("Installation complete for '%s'", self.provider)

@@ -71,41 +71,46 @@ class ChatterboxTTS(BaseTTS):
                 f"Invalid implementation '{implementation}'. Must be 'standard' or 'faster'"
             )
 
+        # Voice / retry configuration
         self.reference_audio_path = reference_audio
         self.voice_cloning = reference_audio is not None
         self.implementation = implementation
         self.drift_model_path = drift_model_path
-
-        self._max_chars_explicit = max_chars_per_segment is not None
-        self.max_chars_per_segment = (
-            max_chars_per_segment if max_chars_per_segment is not None else 800
-        )
         self.max_iterations = max_iterations
         self.accent_drift_threshold = accent_drift_threshold
         self.text_similarity_threshold = text_similarity_threshold
+        self._max_chars_explicit = max_chars_per_segment is not None
+        self.max_chars_per_segment = max_chars_per_segment or 800
 
-        # Model loads eagerly (parity with the reference's ctor-time load)
-        from ..models.chatterbox import ChatterboxModel
-
-        self.model = ChatterboxModel.from_pretrained(
-            device=device, implementation=implementation, seed=seed,
-            quantization=quantization,
-        )
-        self._prompt_cache: Dict[str, np.ndarray] = {}
+        # Sampling knobs forwarded into the CFG decode
         self.temperature = temperature
         self.cfg_weight = cfg_weight
 
-        if implementation == "faster":
-            logger.info("Using 'faster' implementation (capped decode)")
+        # The model loads eagerly: this provider's workflow is "many fast
+        # regenerations of one segment", so the first generate() must not
+        # pay the load. ("faster" differs only in decode caps.)
+        from ..models.chatterbox import ChatterboxModel
+
+        self.model = ChatterboxModel.from_pretrained(
+            device=device,
+            implementation=implementation,
+            seed=seed,
+            quantization=quantization,
+        )
+        self._prompt_cache: Dict[str, np.ndarray] = {}
 
         if self.voice_cloning:
-            try:
-                from ..audio_io import load_wav
+            self._init_reference_embedding(reference_audio)
 
-                wav, sr = load_wav(reference_audio)
-                self.reference_embedding = self.model.speaker_encoder.embed_utterance(wav, sr)
-            except Exception as exc:  # noqa: BLE001
-                logger.warning("Reference embedding unavailable: %s", exc)
+    def _init_reference_embedding(self, reference_audio: str) -> None:
+        """Embed the reference voice once for similarity validation."""
+        try:
+            from ..audio_io import load_wav
+
+            wav, sr = load_wav(reference_audio)
+            self.reference_embedding = self.model.speaker_encoder.embed_utterance(wav, sr)
+        except Exception as exc:  # noqa: BLE001
+            logger.warning("Reference embedding unavailable: %s", exc)
 
     def _generate_audio(self, text: Union[str, List[str]], **kwargs):
         """Generate audio with per-reference conditionals caching."""
