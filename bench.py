@@ -16,6 +16,10 @@ import os
 import sys
 import time
 
+# Persistent XLA compilation cache: first run compiles, later runs load in
+# seconds (works through the remote-compile relay too).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
 
 
@@ -176,6 +180,10 @@ def bench_chatterbox():
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
