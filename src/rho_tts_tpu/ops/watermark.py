@@ -29,12 +29,14 @@ def _pn_sequence(n: int, key: int) -> jnp.ndarray:
 def _embed_core(audio: jnp.ndarray, key: int) -> jnp.ndarray:
     n = audio.shape[-1]
     pn = _pn_sequence(n, key)
-    # Local RMS envelope via windowed mean of x^2 (same-size, reflect pad)
+    # Local RMS envelope: centered windowed mean of x² via prefix sums
+    # (O(N) elementwise — a 1024-tap convolve compiles pathologically on
+    # some TPU toolchains).
     x2 = audio * audio
-    kernel = jnp.ones(_ENV_WINDOW) / _ENV_WINDOW
-    env = jnp.sqrt(
-        jnp.convolve(jnp.pad(x2, (_ENV_WINDOW // 2, _ENV_WINDOW // 2), mode="edge"), kernel, mode="valid")[:n]
-    )
+    padded = jnp.pad(x2, (_ENV_WINDOW // 2, _ENV_WINDOW // 2), mode="edge")
+    csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(padded)])
+    window_sums = csum[_ENV_WINDOW:] - csum[:-_ENV_WINDOW]
+    env = jnp.sqrt(window_sums[:n] / _ENV_WINDOW)
     return audio + pn * env * _STRENGTH
 
 
