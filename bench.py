@@ -256,6 +256,8 @@ def main():
         out = _decode_chunk(
             params, cfg, cache_k, cache_v, key_valid, jnp.int32(slot0),
             rope_base + (slot0 - prompt_len), last_codes, done, rng, temp,
+            jnp.int32(slot0 - prompt_len),  # step_base
+            jnp.int32(10**9),               # min_frames: never sample EOS
             CHUNK, cfg.top_k,
         )
         codes, _dseq, cache_k, cache_v, key_valid, last_codes, done, rng = out
