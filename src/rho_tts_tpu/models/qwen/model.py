@@ -271,6 +271,8 @@ class QwenTTSModel:
         self.params = params
         self.sample_rate = config.codec.sample_rate
         self._ref_codes_cache: Dict[str, np.ndarray] = {}
+        #: set by parallel.inference.enable_data_parallel for mesh serving
+        self.mesh = None
 
     # -- Loading -----------------------------------------------------------
 
@@ -304,6 +306,25 @@ class QwenTTSModel:
         return cls(
             cfg, params=params, model_path=model_path, seed=seed, quantization=quantization
         )
+
+    # -- Mesh sharding helpers ----------------------------------------------
+
+    def _shard(self, x, batch_axis: int = 0):
+        """Shard one array's batch axis over the mesh's ``data`` axis."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    def _dp_pad(self, n: int) -> int:
+        """Rows of padding needed so the batch divides the data axis."""
+        if self.mesh is None:
+            return 0
+        dp = self.mesh.shape.get("data", 1)
+        return (-n) % dp
 
     # -- Reference audio conditioning --------------------------------------
 
@@ -396,24 +417,28 @@ class QwenTTSModel:
         random-weight models don't terminate immediately).
         """
         cfg = self.config
-        b = len(texts)
         temperature = cfg.temperature if temperature is None else temperature
         top_k = cfg.top_k if top_k is None else top_k
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
         rows = self._build_prompt_rows(texts, speaker, language, ref_audio, ref_text)
+        # Mesh serving: pad the batch to a multiple of the data axis
+        n_real = len(rows)
+        for _ in range(self._dp_pad(n_real)):
+            rows.append(rows[0])
+        b = len(rows)
         lens = [int(r.shape[0]) for r in rows]
         p = _round_up(max(lens), PROMPT_BUCKET)
         hidden = rows[0].shape[-1]
 
-        embeds = jnp.stack(
+        embeds = self._shard(jnp.stack(
             [jnp.pad(r, ((p - n, 0), (0, 0))) for r, n in zip(rows, lens)]
-        )  # (B, P, H) left-padded
-        rope_pos = jnp.stack(
+        ))  # (B, P, H) left-padded
+        rope_pos = self._shard(jnp.stack(
             [jnp.maximum(jnp.arange(p) - (p - n), 0) for n in lens]
-        ).astype(jnp.int32)
-        attn_mask = jnp.stack([jnp.arange(p) >= (p - n) for n in lens])
+        ).astype(jnp.int32))
+        attn_mask = self._shard(jnp.stack([jnp.arange(p) >= (p - n) for n in lens]))
 
         if max_frames is None:
             max_chars = max(len(t) for t in texts)
@@ -486,7 +511,7 @@ class QwenTTSModel:
         done_seq = np.concatenate(all_done, axis=1)  # (B, T)
 
         outputs = []
-        for i in range(b):
+        for i in range(n_real):  # drop mesh padding rows
             d = np.nonzero(done_seq[i])[0]
             end = int(d[0]) if d.size else codes.shape[1]
             end = max(end, 1)
