@@ -181,9 +181,12 @@ def bench_chatterbox():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() in ("tpu", "axon"):
+        # Persistent compile cache (TPU programs only — CPU AOT artifacts
+        # are host-feature specific and can SIGILL across machines).
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
