@@ -247,6 +247,16 @@ def main():
     sync(logits)
     prefill_compile = time.time() - t0
     log(f"prefill (compile+run): {prefill_compile:.1f}s")
+    t0 = time.time()
+    logits2, _ck, _cv, _kv = _prefill(
+        params, cfg, embeds, rope_pos, attn_mask,
+        tfm.make_kv_cache(cfg.talker, batch, s)[0],
+        tfm.make_kv_cache(cfg.talker, batch, s)[1],
+        jnp.zeros((batch, s), bool),
+    )
+    sync(logits2)
+    log(f"prefill steady: {time.time() - t0:.3f}s "
+        f"({batch * prompt_len / (time.time() - t0):.0f} tok/s)")
 
     rng = jax.random.PRNGKey(2)
     last_codes = jnp.zeros((batch, cfg.codec.n_codebooks), jnp.int32)
