@@ -271,7 +271,8 @@ class QwenTTSModel:
         self.params = params
         self.sample_rate = config.codec.sample_rate
         self._ref_codes_cache: Dict[str, np.ndarray] = {}
-        #: set by parallel.inference.enable_data_parallel for mesh serving
+        #: set by parallel.inference.enable_data_parallel /
+        #: enable_tensor_parallel for mesh serving
         self.mesh = None
 
     # -- Loading -----------------------------------------------------------
@@ -325,6 +326,20 @@ class QwenTTSModel:
             return 0
         dp = self.mesh.shape.get("data", 1)
         return (-n) % dp
+
+    def _shard_kv(self, cache):
+        """Shard a (L, B, S, Hkv, D) KV cache: batch over ``data`` and —
+        under tensor parallelism — heads over ``model``, matching the
+        column-parallel wqkv so attention runs without resharding."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = [None] * cache.ndim
+        axes[1] = "data"
+        if self.mesh.shape.get("model", 1) > 1:
+            axes[3] = "model"
+        return jax.device_put(cache, NamedSharding(self.mesh, P(*axes)))
 
     # -- Reference audio conditioning --------------------------------------
 
@@ -447,7 +462,8 @@ class QwenTTSModel:
         s = p + n_chunks * CHUNK
 
         cache_k, cache_v = tfm.make_kv_cache(cfg.talker, b, s)
-        key_valid = jnp.zeros((b, s), bool)
+        cache_k, cache_v = self._shard_kv(cache_k), self._shard_kv(cache_v)
+        key_valid = self._shard(jnp.zeros((b, s), bool))
 
         with profiling.stage("qwen/prefill"):
             logits, cache_k, cache_v, key_valid = _prefill(

@@ -27,6 +27,15 @@ from .model import init_params
 Params = Dict[str, Any]
 
 
+def _constrain(x: jnp.ndarray, *spec) -> jnp.ndarray:
+    """Activation-sharding hint; no-op when no mesh is in context so the
+    same train_step also runs unsharded on a single device."""
+    try:
+        return jax.lax.with_sharding_constraint(x, jax.sharding.PartitionSpec(*spec))
+    except RuntimeError:  # no mesh in context (raised at trace time)
+        return x
+
+
 def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.01):
     return optax.adamw(learning_rate, weight_decay=weight_decay)
 
@@ -61,9 +70,7 @@ def _forward_loss(params: Params, cfg: QwenTTSConfig, batch: Dict[str, jnp.ndarr
     for q in range(nq):
         audio_in = audio_in + params["audio_embed"][q][codes[:, :-1, q]]
     embeds = jnp.concatenate([text_emb, bos, audio_in], axis=1)  # (B, Tt+Tc, H)
-    embeds = jax.lax.with_sharding_constraint(
-        embeds, jax.sharding.PartitionSpec("data", None, None)
-    )
+    embeds = _constrain(embeds, "data", None, None)
 
     t_total = tt + tc
     positions = jnp.broadcast_to(jnp.arange(t_total), (b, t_total))
@@ -71,9 +78,7 @@ def _forward_loss(params: Params, cfg: QwenTTSConfig, batch: Dict[str, jnp.ndarr
     h_audio = h[:, tt : tt + tc]  # hidden states predicting each code step
 
     logits = h_audio.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
-    logits = jax.lax.with_sharding_constraint(
-        logits, jax.sharding.PartitionSpec("data", None, None)
-    )
+    logits = _constrain(logits, "data", None, None)
     primary_ce = optax.softmax_cross_entropy_with_integer_labels(logits, codes[..., 0])
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     loss = jnp.sum(primary_ce * mask) / denom

@@ -13,9 +13,11 @@ Usage::
     enable_data_parallel(model, mesh)
     model.synthesize([...])  # batch rows spread across the mesh
 
-Tensor-parallel serving (weights sharded over ``model``) reuses
-``sharding.qwen_param_specs`` and is wired in the training dryrun; the
-serving default is DP because the 1.7B talker fits a single v5e chip.
+Tensor-parallel serving (:func:`enable_tensor_parallel`) shards the talker
+weights over ``model`` via ``sharding.qwen_param_specs`` — Megatron-style
+column/row splits with XLA-inserted psums — and still spreads batch rows
+over ``data``. The serving default is DP because the 1.7B talker fits a
+single v5e chip; TP covers models that span more than one chip.
 """
 
 from __future__ import annotations
@@ -57,4 +59,30 @@ def enable_data_parallel(model, mesh: Mesh) -> None:
     model.mesh = mesh
     logger.info(
         "Data-parallel inference enabled: mesh=%s", dict(mesh.shape)
+    )
+
+
+def enable_tensor_parallel(model, mesh: Mesh) -> None:
+    """Shard a model instance's weights over the mesh ``model`` axis.
+
+    Megatron-style tensor parallelism for serving models that exceed one
+    chip's HBM: wqkv / w_gate / w_up columns and wo / w_down rows split
+    over ``model`` (two psums per block, inserted by XLA and riding ICI),
+    vocab-sharded text embedding, and the KV caches sharded over the KV
+    heads (see ``QwenTTSModel._shard_kv``). Batch rows still spread over
+    ``data`` when the mesh has both axes.
+    """
+    from .sharding import qwen_param_specs, shard_params
+
+    mp = mesh.shape.get("model", 1)
+    kv_heads = model.config.talker.kv_heads
+    if kv_heads % mp != 0:
+        raise ValueError(
+            f"model axis ({mp}) must divide kv_heads ({kv_heads}) so the "
+            "KV cache shards evenly over heads"
+        )
+    model.params = shard_params(mesh, model.params, qwen_param_specs(model.params))
+    model.mesh = mesh
+    logger.info(
+        "Tensor-parallel inference enabled: mesh=%s", dict(mesh.shape)
     )

@@ -42,7 +42,12 @@ def stack_specs() -> Params:
 
 
 def qwen_param_specs(params: Params) -> Params:
-    """PartitionSpec tree matching models.qwen.model.init_params."""
+    """PartitionSpec tree matching models.qwen.model.init_params.
+
+    Handles weight-only int8 talker blocks (``{"q", "s"}`` leaves from
+    models.quantization.quantize_stack): ``q`` keeps the dense layout spec
+    and the per-output-channel scale ``s`` drops the input axis.
+    """
     specs: Params = {
         # Text vocab is large and divisible; audio vocab (codebook + 3
         # specials) is intentionally replicated — it's a few MB.
@@ -54,6 +59,12 @@ def qwen_param_specs(params: Params) -> Params:
         "code_predictor": {"w1": P(None, None, "model"), "w2": P(None, "model", None)},
         "codec": jax.tree.map(lambda _: P(), params["codec"]),
     }
+    blocks = params["talker"]["blocks"]
+    bspecs = specs["talker"]["blocks"]
+    for name, leaf in blocks.items():
+        if isinstance(leaf, dict) and "q" in leaf and "s" in leaf:
+            dense = tuple(bspecs[name])
+            bspecs[name] = {"q": P(*dense), "s": P(*(dense[:-2] + dense[-1:]))}
     return specs
 
 

@@ -51,6 +51,12 @@ class QwenTTS(BaseTTS):
         drift_model_path: Explicit drift-classifier path (overrides
             per-voice lookup).
         phonetic_mapping: Word-to-pronunciation overrides.
+        quantization: "int8" for weight-only int8 talker serving.
+        min_audio_sec: Minimum generated duration (EOS masked below it).
+        parallelism: None (single chip), "data" (replicated weights,
+            batch rows over the mesh) or "tensor" (talker weights sharded
+            over the mesh ``model`` axis for >1-chip checkpoints).
+        n_devices: Mesh size for parallel serving (default: all devices).
     """
 
     MAX_MODEL_CHARS = 4000
@@ -82,6 +88,8 @@ class QwenTTS(BaseTTS):
         phonetic_mapping: Optional[Dict[str, str]] = None,
         quantization: Optional[str] = None,
         min_audio_sec: float = 0.0,
+        parallelism: Optional[str] = None,
+        n_devices: Optional[int] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -100,6 +108,10 @@ class QwenTTS(BaseTTS):
         self.drift_model_path = drift_model_path
         self.quantization = quantization
         self.min_audio_sec = min_audio_sec
+        if parallelism not in (None, "data", "tensor"):
+            raise ValueError(f"Unknown parallelism mode: {parallelism!r}")
+        self.parallelism = parallelism
+        self.n_devices = n_devices
 
         self._max_chars_explicit = max_chars_per_segment is not None
         self.max_chars_per_segment = (
@@ -126,6 +138,7 @@ class QwenTTS(BaseTTS):
             self._model = QwenTTSModel.from_pretrained(
                 self.model_path, seed=self.seed, quantization=self.quantization
             )
+            self._enable_mesh(self._model)
             # Refine max model chars from the checkpoint's context length
             mpe = self._model.config.max_position_embeddings
             if mpe:
@@ -133,6 +146,38 @@ class QwenTTS(BaseTTS):
             if self.voice_cloning:
                 self._initialize_reference_embedding()
         return self._model
+
+    def _enable_mesh(self, model):
+        """Switch the loaded model to multi-chip serving if requested.
+
+        ``parallelism="data"`` replicates weights and spreads batch rows
+        over the chips; ``"tensor"`` shards the talker weights over the
+        mesh ``model`` axis (for checkpoints that exceed one chip's HBM),
+        with any leftover devices forming a ``data`` axis.
+        """
+        if not self.parallelism:
+            return
+        import jax
+
+        from ..parallel import create_mesh, enable_data_parallel, enable_tensor_parallel
+
+        n = self.n_devices or len(jax.devices())
+        if n <= 1:
+            logger.warning("parallelism=%r requested but only %d device(s) visible",
+                           self.parallelism, n)
+            return
+        if self.parallelism == "data":
+            enable_data_parallel(model, create_mesh(n, model_parallel=1))
+        else:
+            # TP degree must divide both the device count and the KV heads
+            # (the cache shards over heads); leftover devices go to data.
+            kv_heads = model.config.talker.kv_heads
+            mp = 1
+            for cand in (4, 2):
+                if n % cand == 0 and kv_heads % cand == 0:
+                    mp = cand
+                    break
+            enable_tensor_parallel(model, create_mesh(n, model_parallel=mp))
 
     def _initialize_reference_embedding(self):
         """Compute the reference speaker embedding for similarity checks."""
