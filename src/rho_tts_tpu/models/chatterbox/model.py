@@ -232,9 +232,26 @@ class ChatterboxModel:
         implementation: str = "standard",
         seed: int = 0,
         quantization: Optional[str] = None,
+        model_path: Optional[str] = None,
     ):
+        """Build the model; converts local T3 weights when ``model_path``
+        points at a checkpoint (dir of safetensors or a ``t3_cfg.pt``).
+
+        Parity: the reference loads upstream weights eagerly at ctor
+        (``src/rho_tts/providers/chatterbox.py:78-96``); without a local
+        checkpoint this falls back to deterministic random init (the
+        compiled decode path is identical either way).
+        """
         cfg = PRESETS.get(implementation, PRESETS["standard"])
-        return cls(cfg, seed=seed, quantization=quantization)
+        params = None
+        if model_path:
+            try:
+                from .weights import load_checkpoint
+
+                params = load_checkpoint(model_path, cfg)
+            except Exception as exc:  # noqa: BLE001
+                logger.warning("Chatterbox checkpoint load failed (%s); random init", exc)
+        return cls(cfg, params=params, seed=seed, quantization=quantization)
 
     @property
     def speaker_encoder(self):

@@ -8,4 +8,4 @@ embedding. The LSTM runs as a ``lax.scan`` with fused gate matmuls; mel
 extraction is the shared XLA spectral pipeline.
 """
 
-from .encoder import SpeakerEncoder
+from .encoder import SpeakerEncoder, load_pretrained

@@ -55,6 +55,54 @@ def init_params(key, input_dim: int = N_MELS) -> Params:
     params["proj"] = jax.random.uniform(
         keys[-1], (HIDDEN, EMBED), jnp.float32, -0.05, 0.05
     )
+    params["proj_bias"] = jnp.zeros((EMBED,), jnp.float32)
+    return params
+
+
+def load_pretrained(path: str) -> Params:
+    """Convert a pretrained GE2E checkpoint into this module's layout.
+
+    Accepts the resemblyzer ``pretrained.pt`` format (torch state dict,
+    possibly wrapped as ``{"model_state": ...}``) or an ``.npz`` with the
+    same key names. Torch LSTM tensors are ``weight_ih_l{k}`` (4H, D) /
+    ``weight_hh_l{k}`` (4H, H) with i,f,g,o gate order and two bias
+    vectors that sum; the final ``linear`` is (E, H) + bias.
+
+    This supplies the real weights the reference gets through
+    ``resemblyzer.VoiceEncoder()`` (``src/rho_tts/base_tts.py:133-139``,
+    ``src/rho_tts/validation/classifier/trainer.py:44-47``).
+    """
+    if path.endswith(".npz"):
+        state = {k: np.asarray(v, np.float32) for k, v in np.load(path).items()}
+    else:
+        from ..hf_weights import read_torch_state
+
+        state = read_torch_state(path)
+    if not state:
+        raise FileNotFoundError(f"No speaker-encoder weights at {path}")
+
+    params: Params = {"lstm": []}
+    for layer in range(LAYERS):
+        w_ih = state[f"lstm.weight_ih_l{layer}"]  # (4H, D)
+        w_hh = state[f"lstm.weight_hh_l{layer}"]  # (4H, H)
+        bias = state.get(f"lstm.bias_ih_l{layer}", 0.0) + state.get(
+            f"lstm.bias_hh_l{layer}", 0.0
+        )
+        if np.isscalar(bias) or getattr(bias, "shape", ()) == ():
+            bias = np.zeros((w_ih.shape[0],), np.float32)
+        params["lstm"].append(
+            {
+                "w_ih": jnp.asarray(w_ih.T, jnp.float32),
+                "w_hh": jnp.asarray(w_hh.T, jnp.float32),
+                "bias": jnp.asarray(bias, jnp.float32),
+            }
+        )
+    proj = state["linear.weight"]  # (E, H)
+    params["proj"] = jnp.asarray(proj.T, jnp.float32)
+    bias = state.get("linear.bias")
+    params["proj_bias"] = (
+        jnp.asarray(bias, jnp.float32) if bias is not None else jnp.zeros((proj.shape[0],), jnp.float32)
+    )
     return params
 
 
@@ -84,7 +132,7 @@ def _forward(params: Params, mels: jnp.ndarray) -> jnp.ndarray:
     x = mels
     for layer_params in params["lstm"]:
         x = _lstm_layer(layer_params, x)
-    e = jax.nn.relu(x[:, -1] @ params["proj"])
+    e = jax.nn.relu(x[:, -1] @ params["proj"] + params.get("proj_bias", 0.0))
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
 
@@ -133,11 +181,27 @@ def preprocess(wav: np.ndarray, source_sr: int) -> np.ndarray:
 
 
 class SpeakerEncoder:
-    """Utterance-level speaker embedding extractor."""
+    """Utterance-level speaker embedding extractor.
 
-    def __init__(self, params: Optional[Params] = None, seed: int = 0):
+    Weight resolution order: explicit ``params`` → explicit
+    ``weights_path`` → ``RHO_TTS_TPU_SPEAKER_WEIGHTS`` env var → random
+    init (deterministic; embeddings are still stable projections, logged).
+    """
+
+    def __init__(
+        self,
+        params: Optional[Params] = None,
+        seed: int = 0,
+        weights_path: Optional[str] = None,
+    ):
         if params is None:
-            params = init_params(jax.random.PRNGKey(seed))
+            import os
+
+            path = weights_path or os.environ.get("RHO_TTS_TPU_SPEAKER_WEIGHTS")
+            if path:
+                params = load_pretrained(path)
+            else:
+                params = init_params(jax.random.PRNGKey(seed))
         self.params = params
 
     def embed_utterance(self, wav: np.ndarray, source_sr: int) -> np.ndarray:

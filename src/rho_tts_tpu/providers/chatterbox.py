@@ -42,6 +42,8 @@ class ChatterboxTTS(BaseTTS):
         phonetic_mapping: Word-to-pronunciation overrides.
         temperature: Sampling temperature (default 1.0).
         cfg_weight: Classifier-free guidance weight (default 0.6).
+        model_path: Local T3 checkpoint (safetensors dir or t3_cfg.pt);
+            random init when absent.
     """
 
     MAX_MODEL_CHARS = 3000
@@ -63,6 +65,7 @@ class ChatterboxTTS(BaseTTS):
         temperature: float = 1.0,
         cfg_weight: float = 0.6,
         quantization: Optional[str] = None,
+        model_path: Optional[str] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -96,6 +99,7 @@ class ChatterboxTTS(BaseTTS):
             implementation=implementation,
             seed=seed,
             quantization=quantization,
+            model_path=model_path,
         )
         self._prompt_cache: Dict[str, np.ndarray] = {}
 
