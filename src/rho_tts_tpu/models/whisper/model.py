@@ -311,12 +311,31 @@ class WhisperModel:
         return np.asarray(toks)
 
 
+class FallbackTokenizer:
+    """Deterministic id→printable-text mapping for checkpoint-less hosts.
+
+    The real Whisper vocabulary is a GPT-2-style BPE that only ships with
+    a checkpoint; this host has no egress (CLAUDE.md). The fallback keeps
+    the FULL STT gate executable end-to-end — mel → encode → KV-cached
+    decode → detokenize → normalize → fuzzy match — with identical device
+    compute, so throughput numbers are real even though the text is not.
+    The reference bundles its tokenizer via faster-whisper
+    (``src/rho_tts/validation/stt/stt_validator.py:64-71``).
+    """
+
+    _ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+    def decode(self, ids) -> str:
+        return "".join(self._ALPHABET[int(i) % len(self._ALPHABET)] for i in ids)
+
+
 class WhisperTranscriber:
     """Transcription facade with checkpoint + tokenizer management."""
 
     def __init__(self, model: WhisperModel, tokenizer=None, has_real_weights: bool = False):
         self.model = model
-        self.tokenizer = tokenizer
+        self.has_real_tokenizer = tokenizer is not None
+        self.tokenizer = tokenizer if tokenizer is not None else FallbackTokenizer()
         self.has_real_weights = has_real_weights
 
     @classmethod
@@ -358,11 +377,7 @@ class WhisperTranscriber:
         out = []
         for toks in toks_batch:
             ids = [int(t) for t in toks if int(t) < self.model.cfg.eot]
-            if self.tokenizer is not None:
-                out.append(self.tokenizer.decode(ids))
-            else:
-                # Without a tokenizer the ids aren't mappable to text
-                out.append(" ".join(str(t) for t in ids))
+            out.append(self.tokenizer.decode(ids))
         return out
 
 

@@ -59,12 +59,23 @@ def _get_transcriber():
         model_path = os.environ.get("RHO_TTS_TPU_WHISPER_MODEL", "whisper-tiny")
         _whisper = WhisperTranscriber.from_pretrained(model_path)
         if not _whisper.has_real_weights:
-            logger.warning(
-                "Whisper checkpoint not found (set RHO_TTS_TPU_WHISPER_MODEL to a "
-                "local dir) — STT validation will be skipped."
-            )
-            _whisper = None
-            _whisper_failed = True
+            # RHO_TTS_TPU_STT_ALLOW_RANDOM=1 keeps the gate's full compute
+            # path live on checkpoint-less hosts (throughput benchmarks,
+            # end-to-end pipeline tests); transcriptions are then not
+            # meaningful, so pair it with text_similarity_threshold=0.
+            if os.environ.get("RHO_TTS_TPU_STT_ALLOW_RANDOM") == "1":
+                logger.warning(
+                    "Whisper running with RANDOM weights (allowed by "
+                    "RHO_TTS_TPU_STT_ALLOW_RANDOM) — transcriptions are not "
+                    "meaningful; throughput/compute path only."
+                )
+            else:
+                logger.warning(
+                    "Whisper checkpoint not found (set RHO_TTS_TPU_WHISPER_MODEL to a "
+                    "local dir) — STT validation will be skipped."
+                )
+                _whisper = None
+                _whisper_failed = True
     except Exception as e:  # noqa: BLE001
         logger.warning("Whisper unavailable: %s — STT validation will be skipped.", e)
         _whisper_failed = True
