@@ -50,23 +50,34 @@ def bench_dsp():
     half = wav[: wav.size // 2]
     segs = [np.pad(half, (2400, 2400)), np.pad(half, (2400, 2400))]
 
-    def chain():
+    def chain_sequential():
         joined = dsp.smooth_segment_join(segs, sr)
         out = dsp.loudness_postprocess(joined, sr)
         return float(jnp.sum(out))
 
-    chain()  # compile
-    t0 = time.time()
+    def chain_fused():
+        out, ratio = dsp.finalize_segments(segs, sr, loudness=True)
+        return float(jnp.sum(out)) + ratio
+
     n = 5
+    chain_sequential()  # compile
+    t0 = time.time()
     for _ in range(n):
-        chain()
+        chain_sequential()
+    seq_ms = (time.time() - t0) / n * 1000
+
+    chain_fused()  # compile
+    t0 = time.time()
+    for _ in range(n):
+        chain_fused()
     wall_ms = (time.time() - t0) / n * 1000
-    log(f"dsp chain (trim+join+fades+loudness) on 10 s: {wall_ms:.1f} ms")
+    log(f"dsp 2-seg chain sequential: {seq_ms:.1f} ms; fused finalize_segments: "
+        f"{wall_ms:.1f} ms ({seq_ms / wall_ms:.1f}x)")
     print(json.dumps({
-        "metric": "dsp_chain_10s_wall",
+        "metric": "dsp_chain_10s_wall_fused_join",
         "value": round(wall_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(10000.0 / wall_ms, 1),
+        "vs_baseline": round(seq_ms / wall_ms, 2),
     }))
 
 

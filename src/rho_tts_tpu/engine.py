@@ -635,17 +635,21 @@ class BaseTTS(ABC):
         None when joining failed. Uses the fully fused single-segment
         program when the provider allows it.
         """
-        fused_mode = self._fused_finalize_mode() if len(audio_segments) == 1 else None
+        fused_mode = self._fused_finalize_mode()
         if fused_mode is not None:
             with profiling.stage("dsp/finalize_fused"):
-                final_audio, decay_ratio = dsp.finalize_segment(
-                    audio_segments[0],
+                final_audio, decay_ratio = dsp.finalize_segments(
+                    audio_segments,
                     self.sample_rate,
+                    crossfade_duration_sec=self.crossfade_duration_sec,
+                    inter_sentence_pause_sec=self.inter_sentence_pause_sec,
                     trim=self.trim_silence,
                     silence_threshold_db=self.silence_threshold_db,
                     fade_duration_sec=self.fade_duration_sec,
                     loudness=(fused_mode == "loudness"),
                 )
+            if final_audio is None:
+                return None, 0.0, True
             custom_decay = (
                 "_validate_sound_decay" in self.__dict__
                 or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
@@ -998,21 +1002,24 @@ class BaseTTS(ABC):
                 if not audio_segments:
                     break
 
-                fused_mode = (
-                    self._fused_finalize_mode() if len(audio_segments) == 1 else None
-                )
+                fused_mode = self._fused_finalize_mode()
                 if fused_mode is not None:
-                    # One fused program: trim+DC+fades(+loudness)+decay with
-                    # a single host sync (vs ~10 relay round-trips).
+                    # One fused program: per-segment trim+DC → crossfade
+                    # join → fades(+loudness)+decay with a single host sync
+                    # (vs ~10 relay round-trips per segment).
                     with profiling.stage("dsp/finalize_fused"):
-                        final_audio, decay_ratio = dsp.finalize_segment(
-                            audio_segments[0],
+                        final_audio, decay_ratio = dsp.finalize_segments(
+                            audio_segments,
                             self.sample_rate,
+                            crossfade_duration_sec=self.crossfade_duration_sec,
+                            inter_sentence_pause_sec=self.inter_sentence_pause_sec,
                             trim=self.trim_silence,
                             silence_threshold_db=self.silence_threshold_db,
                             fade_duration_sec=self.fade_duration_sec,
                             loudness=(fused_mode == "loudness"),
                         )
+                    if final_audio is None:
+                        break
                     # Custom/mocked decay validators still get the final say
                     custom_decay = (
                         "_validate_sound_decay" in self.__dict__

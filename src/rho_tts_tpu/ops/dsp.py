@@ -468,8 +468,80 @@ def loudness_postprocess(
 
 
 # ---------------------------------------------------------------------------
-# Fused single-segment finalize (one device program, one host sync)
+# Fused finalize (one device program, one host sync)
 # ---------------------------------------------------------------------------
+
+
+def _masked_trim_bounds(buf, length, threshold, window, stride, capacity,
+                        from_start: bool, from_end: bool):
+    """Traced trim bounds on a masked buffer → (start, end) sample indices.
+
+    Same math as ``_trim_bounds_core`` + the host-side bound arithmetic of
+    ``trim_silence`` (silent input keeps the first window)."""
+    padding = window // 2
+    x2 = buf * buf
+    padded = jnp.pad(x2, (padding, window))
+    n_windows_max = (capacity + 2 * padding - window) // stride + 1
+    sums = jax.lax.reduce_window(
+        padded, 0.0, jax.lax.add,
+        window_dimensions=(window,), window_strides=(stride,), padding="valid",
+    )[:n_windows_max]
+    energy = jnp.sqrt(sums / window)
+    n_windows = jnp.maximum((length + 2 * padding - window) // stride + 1, 0)
+    widx = jnp.arange(energy.shape[0])
+    non_silent = (energy > threshold) & (widx < n_windows)
+    any_ns = jnp.any(non_silent)
+    first = jnp.argmax(non_silent)
+    last = energy.shape[0] - 1 - jnp.argmax(non_silent[::-1])
+    start = first * window // 2 if from_start else jnp.int32(0)
+    end = (last + 2) * window // 2 if from_end else length
+    start = jnp.where(any_ns, start, 0)
+    end = jnp.where(any_ns, end, jnp.int32(window))
+    start = jnp.clip(start, 0, length)
+    end = jnp.clip(end, start, length)
+    return start.astype(jnp.int32), end.astype(jnp.int32)
+
+
+def _masked_shift_dc(buf, start, new_len, capacity):
+    """Slice [start, start+new_len) to offset 0, zero the rest, remove DC."""
+    shifted = jax.lax.dynamic_slice(
+        jnp.pad(buf, (0, capacity)), (start.astype(jnp.int32),), (capacity,)
+    )
+    idx = jnp.arange(capacity)
+    valid = idx < new_len
+    x = jnp.where(valid, shifted, 0.0)
+    mean = jnp.sum(x) / jnp.maximum(new_len.astype(jnp.float32), 1.0)
+    return jnp.where(valid, x - mean, 0.0)
+
+
+def _masked_fades(x, new_len, fade_samples: int):
+    """Raised-cosine fades over the valid region (skip when too short)."""
+    if fade_samples < 1:
+        return x
+    idx = jnp.arange(x.shape[-1])
+    valid = idx < new_len
+    theta_in = idx.astype(jnp.float32) * (np.pi / max(fade_samples - 1, 1))
+    gain_in = jnp.where(idx < fade_samples, 0.5 * (1.0 - jnp.cos(theta_in)), 1.0)
+    pos_out = (idx - (new_len - fade_samples)).astype(jnp.float32)
+    theta_out = pos_out * (np.pi / max(fade_samples - 1, 1))
+    gain_out = jnp.where(
+        (idx >= new_len - fade_samples) & valid, 0.5 * (1.0 + jnp.cos(theta_out)), 1.0
+    )
+    return jnp.where(new_len >= 2 * fade_samples, x * gain_in * gain_out, x)
+
+
+def _masked_decay_ratio(x, new_len):
+    idx = jnp.arange(x.shape[-1])
+    valid = idx < new_len
+    third = new_len // 3
+    denom = jnp.maximum(third.astype(jnp.float32), 1.0)
+    first_rms = jnp.sqrt(jnp.sum(jnp.where(idx < third, x * x, 0.0)) / denom)
+    last_rms = jnp.sqrt(
+        jnp.sum(jnp.where((idx >= new_len - third) & valid, x * x, 0.0)) / denom
+    )
+    return jnp.where(
+        (third < 1) | (first_rms < 1e-8), 1.0, last_rms / jnp.maximum(first_rms, 1e-12)
+    )
 
 
 @partial(
@@ -508,72 +580,24 @@ def _finalize_core(
     Returns (out_buffer, new_length, decay_ratio).
     """
     if trim:
-        padding = window // 2
-        x2 = buf * buf
-        padded = jnp.pad(x2, (padding, window))
-        n_windows_max = (capacity + 2 * padding - window) // stride + 1
-        sums = jax.lax.reduce_window(
-            padded, 0.0, jax.lax.add,
-            window_dimensions=(window,), window_strides=(stride,), padding="valid",
-        )[:n_windows_max]
-        energy = jnp.sqrt(sums / window)
-        n_windows = jnp.maximum((length + 2 * padding - window) // stride + 1, 0)
-        widx = jnp.arange(energy.shape[0])
-        non_silent = (energy > threshold) & (widx < n_windows)
-        any_ns = jnp.any(non_silent)
-        first = jnp.argmax(non_silent)
-        last = energy.shape[0] - 1 - jnp.argmax(non_silent[::-1])
-        start = jnp.where(any_ns, first * window // 2, 0)
-        end = jnp.where(any_ns, (last + 2) * window // 2, jnp.int32(window))
-        start = jnp.clip(start, 0, length)
-        end = jnp.clip(end, start, length)
+        start, end = _masked_trim_bounds(
+            buf, length, threshold, window, stride, capacity,
+            from_start=True, from_end=True,
+        )
     else:
         start = jnp.int32(0)
         end = length
 
     new_len = (end - start).astype(jnp.int32)
-    shifted = jax.lax.dynamic_slice(
-        jnp.pad(buf, (0, capacity)), (start.astype(jnp.int32),), (capacity,)
-    )
-    idx = jnp.arange(capacity)
-    valid = idx < new_len
-    x = jnp.where(valid, shifted, 0.0)
-
-    # DC removal over the valid region
-    mean = jnp.sum(x) / jnp.maximum(new_len.astype(jnp.float32), 1.0)
-    x = jnp.where(valid, x - mean, 0.0)
-
-    # Raised-cosine fades (skipped when shorter than two fades)
-    if fade_samples >= 1:
-        theta_in = idx.astype(jnp.float32) * (np.pi / max(fade_samples - 1, 1))
-        gain_in = jnp.where(
-            idx < fade_samples, 0.5 * (1.0 - jnp.cos(theta_in)), 1.0
-        )
-        pos_out = (idx - (new_len - fade_samples)).astype(jnp.float32)
-        theta_out = pos_out * (np.pi / max(fade_samples - 1, 1))
-        gain_out = jnp.where(
-            (idx >= new_len - fade_samples) & valid,
-            0.5 * (1.0 + jnp.cos(theta_out)),
-            1.0,
-        )
-        apply_fade = new_len >= 2 * fade_samples
-        x = jnp.where(apply_fade, x * gain_in * gain_out, x)
+    x = _masked_shift_dc(buf, start, new_len, capacity)
+    x = _masked_fades(x, new_len, fade_samples)
 
     if loudness:
         x = _loudness_masked(
             x, new_len, window_samples, max_windows, capacity, target_rms_db, max_gain_db
         )
 
-    # Sound-decay ratio (thirds of the valid region)
-    third = new_len // 3
-    denom = jnp.maximum(third.astype(jnp.float32), 1.0)
-    first_mask = idx < third
-    last_mask = (idx >= new_len - third) & valid
-    first_rms = jnp.sqrt(jnp.sum(jnp.where(first_mask, x * x, 0.0)) / denom)
-    last_rms = jnp.sqrt(jnp.sum(jnp.where(last_mask, x * x, 0.0)) / denom)
-    ratio = jnp.where(
-        (third < 1) | (first_rms < 1e-8), 1.0, last_rms / jnp.maximum(first_rms, 1e-12)
-    )
+    ratio = _masked_decay_ratio(x, new_len)
     return x, new_len, ratio
 
 
@@ -624,5 +648,195 @@ def finalize_segment(
         float(target_rms_db),
         float(max_gain_db),
     )
-    new_len = int(new_len)
-    return out[:new_len], float(ratio)
+    # One packed host fetch for both scalars (each fetch is a full relay
+    # round-trip on tunneled backends).
+    meta = np.asarray(jnp.stack([new_len.astype(jnp.float32), ratio]))
+    return out[: int(meta[0])], float(meta[1])
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-segment finalize: trim/DC per segment → crossfade-concat →
+# fades → (loudness) → decay, all ONE device program + ONE host sync.
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "stride", "cf", "pause_samples", "fade_samples",
+        "window_samples", "max_windows", "cap", "total_cap", "trim",
+        "loudness",
+    ),
+)
+def _finalize_join_core(
+    segs: jnp.ndarray,  # (K, cap) zero-padded segments
+    lengths: jnp.ndarray,  # (K,) true lengths
+    threshold: jnp.ndarray,
+    window: int,
+    stride: int,
+    cf: int,  # crossfade samples
+    pause_samples: int,
+    fade_samples: int,
+    window_samples: int,
+    max_windows: int,
+    cap: int,
+    total_cap: int,
+    trim: bool,
+    loudness: bool,
+    target_rms_db: float,
+    max_gain_db: float,
+):
+    """Fused N-segment join; piece semantics match ``smooth_segment_join``
+    exactly (golden-tested): boundary-aware trims, equal-power crossfades
+    skipped at overlap <= 10, tail hold-back on interior segments, pauses
+    between interior joins, then global fades (+ loudness) and the decay
+    ratio. Kills the per-segment host round-trips of the sequential chain
+    (BASELINE.md config 1: 554 ms for a 2-segment join vs 83 ms fused
+    single-segment).
+    """
+    k_segs = segs.shape[0]
+    idx = jnp.arange(cap)
+
+    # Per-segment trim + DC removal (boundary-position-aware)
+    xs, lens = [], []
+    for k in range(k_segs):
+        buf, length = segs[k], lengths[k]
+        if trim:
+            start, end = _masked_trim_bounds(
+                buf, length, threshold, window, stride, cap,
+                from_start=(k > 0), from_end=(k < k_segs - 1),
+            )
+        else:
+            start, end = jnp.int32(0), length
+        new_len = (end - start).astype(jnp.int32)
+        xs.append(_masked_shift_dc(buf, start, new_len, cap))
+        lens.append(new_len)
+
+    # Piece list: (masked buffer, true length) in emit order
+    pieces = []
+    emit0 = jnp.where(lens[0] > cf, lens[0] - cf, lens[0])
+    pieces.append((jnp.where(idx < emit0, xs[0], 0.0), emit0))
+    cfi = jnp.arange(cf)
+    for k in range(1, k_segs):
+        prev, lp = xs[k - 1], lens[k - 1]
+        curr, lc = xs[k], lens[k]
+        ov = jnp.minimum(jnp.minimum(jnp.int32(cf), lp), lc)
+        use = ov > 10
+
+        # Equal-power crossfade of prev's tail with curr's head
+        theta = cfi.astype(jnp.float32) * (
+            (np.pi / 2.0) / jnp.maximum(ov.astype(jnp.float32) - 1.0, 1.0)
+        )
+        prev_tail = jnp.take(prev, lp - ov + cfi, mode="clip")
+        curr_head = curr[:cf]
+        mixed = prev_tail * jnp.cos(theta) + curr_head * jnp.cos(np.pi / 2.0 - theta)
+        cf_len = jnp.where(use, ov, 0)
+        pieces.append((jnp.where(cfi < cf_len, mixed, 0.0), cf_len))
+
+        # Remaining body of curr (head consumed by the crossfade; interior
+        # segments hold back cf tail samples for the NEXT crossfade)
+        start = jnp.where(use, ov, 0)
+        if k < k_segs - 1:
+            tail_hold = jnp.where(use & (lc > ov + cf), cf, 0)
+        else:
+            tail_hold = jnp.int32(0)
+        rem_len = jnp.maximum(jnp.where(use, lc - ov - tail_hold, lc), 0)
+        rem = jax.lax.dynamic_slice(jnp.pad(curr, (0, cap)), (start,), (cap,))
+        pieces.append((jnp.where(idx < rem_len, rem, 0.0), rem_len))
+
+        if pause_samples > 0 and k < k_segs - 1:
+            pieces.append(
+                (jnp.zeros((pause_samples,), jnp.float32), jnp.where(use, pause_samples, 0))
+            )
+
+    # Assemble at running offsets (additive writes; buffers are masked)
+    out = jnp.zeros((total_cap,), jnp.float32)
+    offset = jnp.int32(0)
+    for buf, plen in pieces:
+        out = out + jax.lax.dynamic_update_slice(
+            jnp.zeros((total_cap,), jnp.float32), buf, (offset,)
+        )
+        offset = offset + plen
+
+    total_len = offset
+    out = _masked_fades(out, total_len, fade_samples)
+    if loudness:
+        out = _loudness_masked(
+            out, total_len, window_samples, max_windows, total_cap,
+            target_rms_db, max_gain_db,
+        )
+    ratio = _masked_decay_ratio(out, total_len)
+    return out, total_len, ratio
+
+
+def finalize_segments(
+    segments: List,
+    sample_rate: int,
+    crossfade_duration_sec: float = 0.05,
+    inter_sentence_pause_sec: float = 0.1,
+    trim: bool = True,
+    silence_threshold_db: float = -50.0,
+    fade_duration_sec: float = 0.02,
+    loudness: bool = False,
+    target_rms_db: float = -23.0,
+    loudness_window_sec: float = 2.0,
+    max_gain_db: float = 18.0,
+):
+    """Fused finalize for ANY segment count: equivalent to
+    ``smooth_segment_join(segments)`` (+ optional ``loudness_postprocess``)
+    followed by ``sound_decay_ratio``, in one device program.
+
+    Returns (waveform, decay_ratio); (None, 1.0) for an empty list.
+    """
+    if len(segments) == 0:
+        return None, 1.0
+    if len(segments) == 1:
+        return finalize_segment(
+            segments[0], sample_rate, trim=trim,
+            silence_threshold_db=silence_threshold_db,
+            fade_duration_sec=fade_duration_sec, loudness=loudness,
+            target_rms_db=target_rms_db, loudness_window_sec=loudness_window_sec,
+            max_gain_db=max_gain_db,
+        )
+
+    arrs = [_as_f32_1d(s) for s in segments]
+    lens = [int(a.shape[-1]) for a in arrs]
+    k = len(arrs)
+    cap = bucket_size(max(max(lens), 1))
+    segs = jnp.stack([_pad_to(a, cap) for a in arrs])
+
+    window = int(sample_rate * 0.01)
+    stride = max(window // 2, 1)
+    if window < 2:
+        trim = False
+        window, stride = 2, 1
+    cf = int(sample_rate * crossfade_duration_sec)
+    pause_samples = int(sample_rate * inter_sentence_pause_sec)
+    fade_samples = int(sample_rate * fade_duration_sec)
+    window_samples = int(sample_rate * loudness_window_sec)
+
+    # Output capacity: every piece write (cap-sized) must fit at its offset.
+    total_cap = bucket_size(k * cap + (k - 1) * (cf + pause_samples) + cap)
+    max_windows = max(total_cap // window_samples, 1)
+    total_cap = max(total_cap, max_windows * window_samples)
+
+    out, total_len, ratio = _finalize_join_core(
+        segs,
+        jnp.asarray(lens, jnp.int32),
+        jnp.float32(10.0 ** (silence_threshold_db / 20.0)),
+        window,
+        stride,
+        cf,
+        pause_samples,
+        fade_samples,
+        window_samples,
+        max_windows,
+        cap,
+        int(total_cap),
+        bool(trim),
+        bool(loudness),
+        float(target_rms_db),
+        float(max_gain_db),
+    )
+    meta = np.asarray(jnp.stack([total_len.astype(jnp.float32), ratio]))
+    return out[: int(meta[0])], float(meta[1])
