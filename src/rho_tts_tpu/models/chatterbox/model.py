@@ -36,7 +36,10 @@ logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
-CHUNK = 64
+# Decode steps per compiled scan chunk. Single-stream decode is dominated
+# by per-chunk host syncs on relay-tunneled backends, so the chunk is
+# larger than Qwen's batched decode (whose syncs amortize over the batch).
+CHUNK = 128
 PROMPT_BUCKET = 64
 
 
@@ -331,27 +334,37 @@ class ChatterboxModel:
         done = tok0 == cfg.speech_eos
         rope_base = jnp.asarray(lens, jnp.int32)
 
-        all_toks = [np.asarray(tok0)[:, None]]
-        all_done = [np.asarray(done)[:, None]]
+        # Token/done chunks stay ON DEVICE; the loop's only host sync is the
+        # tiny early-exit flag (one relay round-trip per chunk instead of 3).
+        all_toks = [tok0[:, None]]
+        all_done = [done[:, None]]
         last_tok = tok0
         slot0 = jnp.int32(p)
 
         for _ in range(n_chunks):
             if cancel_check is not None:
                 cancel_check()
-            if bool(np.all(np.asarray(done))):
+            if bool(np.asarray(jnp.all(done))):
                 break
             (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
                 slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
                 jnp.float32(temperature), jnp.float32(cfg_weight), CHUNK, cfg.top_k,
             )
-            all_toks.append(np.asarray(toks))
-            all_done.append(np.asarray(dones))
+            all_toks.append(toks)
+            all_done.append(dones)
             slot0 = slot0 + CHUNK
 
-        toks = np.concatenate(all_toks, axis=1)[0]  # cond row
-        done_seq = np.concatenate(all_done, axis=1)[0]
+        # One packed fetch for the whole token/done history (cond row only)
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.concatenate(all_toks, axis=1)[0],
+                    jnp.concatenate(all_done, axis=1)[0].astype(jnp.int32),
+                ]
+            )
+        )
+        toks, done_seq = np.split(packed, 2)
         d = np.nonzero(done_seq)[0]
         end = max(int(d[0]) if d.size else toks.shape[0], 1)
         toks = toks[:end]

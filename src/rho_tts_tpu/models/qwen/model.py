@@ -482,15 +482,17 @@ class QwenTTSModel:
         done = tok0 == cfg.audio_eos
         rope_base = jnp.asarray(lens, jnp.int32)
 
-        all_codes = [np.asarray(first_codes)[:, None, :]]
-        all_done = [np.asarray(done)[:, None]]
+        # Code/done chunks accumulate ON DEVICE; the loop's only host sync
+        # is the early-exit flag (one relay round-trip per chunk, not 3).
+        all_codes = [first_codes[:, None, :]]
+        all_done = [done[:, None]]
         last_codes = first_codes
         slot0 = jnp.int32(p)
 
         for _ in range(n_chunks):
             if cancel_check is not None:
                 cancel_check()
-            if bool(np.all(np.asarray(done))):
+            if bool(np.asarray(jnp.all(done))):
                 break
             with profiling.stage("qwen/decode_chunk"):
                 (
@@ -519,12 +521,22 @@ class QwenTTSModel:
                     CHUNK,
                     top_k,
                 )
-            all_codes.append(np.asarray(codes_chunk))
-            all_done.append(np.asarray(done_chunk))
+            all_codes.append(codes_chunk)
+            all_done.append(done_chunk)
             slot0 = slot0 + CHUNK
 
-        codes = np.concatenate(all_codes, axis=1)  # (B, T, nq)
-        done_seq = np.concatenate(all_done, axis=1)  # (B, T)
+        # One packed fetch: codes and the done flags ride the same transfer
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.concatenate(all_codes, axis=1),
+                    jnp.concatenate(all_done, axis=1)[..., None].astype(jnp.int32),
+                ],
+                axis=-1,
+            )
+        )
+        codes = packed[..., :-1]  # (B, T, nq)
+        done_seq = packed[..., -1].astype(bool)  # (B, T)
 
         outputs = []
         for i in range(n_real):  # drop mesh padding rows

@@ -6,18 +6,34 @@ win=512, hop=128, Hann window): STFT → phase-vocoder time stretch by
 rate → trim/pad to the original length. The STFT/ISTFT and the complex
 interpolation all run as XLA FFT + gather programs on device.
 
+One deliberate deviation: torchaudio resamples with
+``orig_freq=int(sample_rate/rate)``, whose gcd reduction lands on huge
+coprime ratios (e.g. 8979:8000 for +2 semitones at 24 kHz) — a
+72M-element kernel bank that is pathological to build and compile. The
+semitone rate is irrational either way, so we approximate it with the
+best rational of denominator ≤ 64 instead (≤ ~1 cent of pitch error,
+inaudible; the kernel bank stays tiny and MXU-friendly).
+
 Capability parity: reference ``base_tts.py:640-648``.
 """
 
 from __future__ import annotations
 
 import math
+from fractions import Fraction
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from . import resample as resample_ops
 from . import spectral
+
+
+def rate_fraction(rate: float, max_denominator: int = 64) -> Tuple[int, int]:
+    """Best (new, orig) rational approximation of a resample ratio."""
+    frac = Fraction(rate).limit_denominator(max_denominator)
+    return frac.numerator, frac.denominator
 
 
 def phase_vocoder(spec: jnp.ndarray, rate: float, phase_advance: jnp.ndarray) -> jnp.ndarray:
@@ -78,7 +94,8 @@ def pitch_shift(
     wav_stretch = spectral.istft(
         spec_stretch, n_fft, hop_length, win_length, window, length=len_stretch
     )
-    shifted = resample_ops.resample(wav_stretch, int(sample_rate / rate), sample_rate)
+    new_f, orig_f = rate_fraction(rate)
+    shifted = resample_ops.resample(wav_stretch, orig_f, new_f)
 
     if shifted.shape[-1] > ori_len:
         return shifted[:ori_len]
