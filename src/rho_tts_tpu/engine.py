@@ -841,22 +841,9 @@ class BaseTTS(ABC):
                 item_drift_scores = []
                 item_text_sim_scores = []
 
-                if self.supports_batch_generation and len(segments) > 1:
-                    audios, pos_drift, pos_sim = self._generate_segments_batched(
-                        segments, token, progress_callback
-                    )
-                    item_drift_scores = [d for d in pos_drift if d != float("inf")]
-                    item_text_sim_scores = [x for x in pos_sim if x is not None]
-                    for i, a in enumerate(audios):
-                        if a is None:
-                            logger.error(f"  Segment {i + 1} failed to generate")
-                        else:
-                            audio_segments.append(a)
-                    segments_iter = []
-                else:
-                    segments_iter = list(enumerate(segments))
-
-                for seg_idx, segment in segments_iter:
+                # Batch-capable providers never reach this loop: they return
+                # via _run_pipeline_batched_items at the top of this method.
+                for seg_idx, segment in enumerate(segments):
                     if token.is_cancelled():
                         raise CancelledException(
                             f"Cancelled during segment {seg_idx + 1} of item {idx + 1}"
