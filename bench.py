@@ -107,8 +107,46 @@ def bench_scoring():
     }))
 
 
+def _train_bench_classifier(workdir="/tmp/bench_drift"):
+    """Train a drift classifier on synthetic good/bad clips, in-bench.
+
+    Prices the full 286-d feature extraction + RF + isotonic pipeline into
+    the benchmark environment without any downloaded data; returns the
+    saved model path (cached across bench invocations).
+    """
+    import numpy as np
+
+    from rho_tts_tpu import train_drift_classifier
+    from rho_tts_tpu.audio_io import save_wav
+
+    model_path = os.path.join(workdir, "bench_classifier.pkl")
+    if os.path.exists(model_path):
+        return model_path
+    rng = np.random.default_rng(0)
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    for kind in ("good", "bad"):
+        os.makedirs(os.path.join(workdir, kind), exist_ok=True)
+    for i in range(16):
+        f = 140.0 + 25.0 * i
+        tone = 0.4 * np.sin(2 * np.pi * f * t) * (1.0 + 0.1 * np.sin(2 * np.pi * 3 * t))
+        good = (tone + 0.01 * rng.standard_normal(t.size)).astype(np.float32)
+        save_wav(os.path.join(workdir, "good", f"g{i:02d}.wav"), good, sr)
+        bad = (0.3 * rng.standard_normal(t.size)).astype(np.float32)
+        save_wav(os.path.join(workdir, "bad", f"b{i:02d}.wav"), bad, sr)
+    train_drift_classifier(workdir, output_path=model_path)
+    return model_path
+
+
 def bench_pipeline():
-    """Config 5-style: full generate() path with validation hooks active."""
+    """Config 5-style: full generate() path with validation hooks active.
+
+    BENCH_FULL=1 turns on the COMPLETE validation loop: voice-clone mode,
+    an in-bench-trained drift classifier (full 286-d features + on-device
+    forest per segment), and the Whisper STT gate running its full compute
+    with random weights (no checkpoints exist on this host), with
+    thresholds set so the gates pass after doing all their work.
+    """
     import numpy as np
 
     from rho_tts_tpu.providers.qwen import QwenTTS
@@ -116,14 +154,39 @@ def bench_pipeline():
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
-    tts = QwenTTS(
-        model_path=f"{preset}-CustomVoice",
-        speaker="Vivian",
-        max_iterations=1,
-        max_chars_per_segment=400,
-        quantization=quant,
-        min_audio_sec=10.0,  # random weights would otherwise EOS instantly
-    )
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+
+    if full:
+        os.environ["RHO_TTS_TPU_STT_ALLOW_RANDOM"] = "1"
+        clf_path = _train_bench_classifier()
+        ref = "/tmp/bench_ref_voice.wav"
+        from rho_tts_tpu.audio_io import save_wav
+
+        rt = np.arange(24000 * 3) / 24000
+        save_wav(ref, (0.35 * np.sin(2 * np.pi * 200 * rt)).astype(np.float32), 24000)
+        tts = QwenTTS(
+            model_path=f"{preset}-Base",
+            reference_audio=ref,
+            reference_text="A reference voice sample for cloning.",
+            max_iterations=2,  # > 1 so the drift + STT phases execute
+            max_chars_per_segment=400,
+            quantization=quant,
+            min_audio_sec=10.0,
+            drift_model_path=clf_path,
+            # Random-weight STT transcriptions aren't meaningful; gates run
+            # their full compute and then pass.
+            accent_drift_threshold=1.01,
+            text_similarity_threshold=0.0,
+        )
+    else:
+        tts = QwenTTS(
+            model_path=f"{preset}-CustomVoice",
+            speaker="Vivian",
+            max_iterations=1,
+            max_chars_per_segment=400,
+            quantization=quant,
+            min_audio_sec=10.0,  # random weights would otherwise EOS instantly
+        )
     # Random-weight vocoder output is quieter than the -50 dB trim gate;
     # disable trimming so the bench measures real audio durations.
     tts.trim_silence = False
@@ -143,8 +206,9 @@ def bench_pipeline():
         f" → RTF {rtf:.1f}, {segs / wall * 60:.0f} seg/min")
     for name, st in profiling.summary().items():
         log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
+    suffix = "_full_validation" if full else ""
     print(json.dumps({
-        "metric": f"qwen_{preset}_pipeline_rtf_per_chip",
+        "metric": f"qwen_{preset}_pipeline{suffix}_rtf_per_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),

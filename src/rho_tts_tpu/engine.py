@@ -269,6 +269,40 @@ class BaseTTS(ABC):
             logger.debug("Accent drift classifier not available, skipping validation")
             return 0.0, True
 
+    def _validate_accent_drift_batch(self, audios, sample_rate: int) -> list:
+        """Batched accent-drift validation; list of (prob, passed).
+
+        One bucketed device program extracts every segment's features
+        (see ``validation.classifier.trainer.extract_features_batch_audio``);
+        semantics per segment match :meth:`_validate_accent_drift`.
+        """
+        if not getattr(self, "voice_cloning", False):
+            return [(0.0, True)] * len(audios)
+        # Providers (and tests) may override the per-segment hook; the
+        # batched fast path only applies to the stock implementation.
+        bound = self._validate_accent_drift
+        if getattr(bound, "__func__", None) is not BaseTTS._validate_accent_drift:
+            return [bound(a, sample_rate) for a in audios]
+        try:
+            from .validation.classifier import predict_accent_drift_probability_batch
+
+            probs = predict_accent_drift_probability_batch(
+                audios,
+                sample_rate,
+                voice_id=self.voice_id,
+                model_path=self.drift_model_path,
+            )
+        except ImportError:
+            logger.debug("Accent drift classifier not available, skipping validation")
+            return [(0.0, True)] * len(audios)
+        out = []
+        for prob in probs:
+            if prob is None:
+                out.append((0.0, True))
+            else:
+                out.append((prob, prob < self.accent_drift_threshold))
+        return out
+
     def _auto_sort_audio(self, audio, drift_prob: float) -> None:
         """Save audio to the good/ or bad/ training folder based on drift score."""
         good_dir = getattr(self, "auto_sort_good_dir", None)
@@ -551,19 +585,60 @@ class BaseTTS(ABC):
                                 logger.warning(f"    Auto-sort drift check failed ({e})")
                 break
 
-            still_pending = []
-            # Phase 1: accent drift for every generated segment
+            still_pending = [i for i in pending if i not in outs]
+            gen_idx = [i for i in pending if i in outs]
+
+            # Speculative STT overlap: transcription for EVERY generated
+            # segment is dispatched on a worker thread while drift
+            # validation runs — device programs from both interleave on the
+            # chip queue and each validator's host-side work (feature
+            # assembly vs. tokenizer/text matching) overlaps with the
+            # other's device waits (SURVEY §7 stage 4). Results for
+            # segments that fail the drift gate are simply discarded.
+            stt_future = None
+            if gen_idx:
+                pool = getattr(self, "_stt_pool", None)
+                if pool is None:
+                    import concurrent.futures
+
+                    pool = concurrent.futures.ThreadPoolExecutor(
+                        1, thread_name_prefix="stt-validate"
+                    )
+                    self._stt_pool = pool
+
+                def _run_stt(idx=tuple(gen_idx)):
+                    with profiling.stage("validate/stt"):
+                        return self._validate_text_match_batch(
+                            [outs[i] for i in idx],
+                            self.sample_rate,
+                            [segments[i] for i in idx],
+                        )
+
+                stt_future = pool.submit(_run_stt)
+
+            # Phase 1: accent drift for every generated segment — ONE
+            # bucketed feature program + one forest inference for the batch.
+            drift_results = None
+            if gen_idx:
+                try:
+                    with profiling.stage("validate/drift"):
+                        drift_results = self._validate_accent_drift_batch(
+                            [outs[i] for i in gen_idx], self.sample_rate
+                        )
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Batched drift validation error ({e})")
+
             voice_ok_idx: List[int] = []
             drifts: Dict[int, float] = {}
-            for i in pending:
-                if i not in outs:
-                    still_pending.append(i)
-                    continue
+            for pos, i in enumerate(gen_idx):
                 audio = outs[i]
                 try:
-                    drift_prob, is_voice_ok = self._validate_accent_drift(
-                        audio, self.sample_rate
-                    )
+                    if drift_results is not None:
+                        drift_prob, is_voice_ok = drift_results[pos]
+                    else:
+                        drift_prob, is_voice_ok = self._validate_accent_drift(
+                            audio, self.sample_rate
+                        )
                     self._auto_sort_audio(audio, drift_prob)
                     drifts[i] = drift_prob
                     if drift_prob < best_drift[i]:
@@ -580,14 +655,12 @@ class BaseTTS(ABC):
                     logger.warning(f"    Segment {i + 1}: validation error ({e})")
                     still_pending.append(i)
 
-            # Phase 2: ONE batched STT call for all drift-passing segments
-            if voice_ok_idx:
+            # Phase 2: collect the speculative STT results for the
+            # drift-passing segments.
+            if voice_ok_idx and stt_future is not None:
                 try:
-                    stt_results = self._validate_text_match_batch(
-                        [outs[i] for i in voice_ok_idx],
-                        self.sample_rate,
-                        [segments[i] for i in voice_ok_idx],
-                    )
+                    stt_map = dict(zip(gen_idx, stt_future.result()))
+                    stt_results = [stt_map[i] for i in voice_ok_idx]
                 except Exception as e:  # noqa: BLE001
                     logger.warning(f"    Batched STT validation error ({e})")
                     stt_results = [(True, 1.0, None)] * len(voice_ok_idx)

@@ -136,6 +136,34 @@ def _forward(params: Params, mels: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
 
+def _forward_windows(
+    params: Params,
+    mels: jnp.ndarray,
+    starts: jnp.ndarray,
+    win_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Utterance embeddings from per-utterance partial windows, batched.
+
+    mels: (B, T, n_mels), zero-masked past each utterance's valid frames.
+    starts: (B, Nw) int32 window offsets (padded entries may repeat).
+    win_valid: (B, Nw) bool — which windows belong to each utterance.
+    Returns (B, EMBED): masked mean of the window embeddings, renormalized
+    (same math as :meth:`SpeakerEncoder.embed_utterance`).
+    """
+    b, nw = starts.shape
+    idx = jnp.clip(
+        starts[:, :, None] + jnp.arange(PARTIAL_FRAMES)[None, None, :],
+        0,
+        mels.shape[1] - 1,
+    )  # (B, Nw, PARTIAL_FRAMES)
+    win = jax.vmap(lambda m, i: m[i])(mels, idx)  # (B, Nw, P, M)
+    flat = win.reshape(b * nw, PARTIAL_FRAMES, mels.shape[-1])
+    e = _forward(params, flat).reshape(b, nw, -1)
+    w = win_valid.astype(jnp.float32)[..., None]
+    mean = (e * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    return mean / jnp.maximum(jnp.linalg.norm(mean, axis=-1, keepdims=True), 1e-8)
+
+
 def log_mel(wav: jnp.ndarray) -> jnp.ndarray:
     """(S,) 16 kHz waveform → (T, 40) log-mel frames."""
     window = spectral.hann_window(WIN_LENGTH, periodic=False)

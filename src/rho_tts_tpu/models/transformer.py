@@ -186,51 +186,20 @@ def block_forward(
     k = apply_rope(k, positions, cfg.rope_theta)
 
     if kv_cache is not None:
-        ck, cv = kv_cache  # (B, S, Hkv, D)
-        s = ck.shape[1]
-        cache_len_b = jnp.broadcast_to(jnp.asarray(cache_len), (b,))
-        write_pos = cache_len_b[:, None] + jnp.arange(t)[None, :]  # (B, T)
-        bidx = jnp.arange(b)[:, None]
-        ck = ck.at[bidx, write_pos].set(k.astype(ck.dtype))
-        cv = cv.at[bidx, write_pos].set(v.astype(cv.dtype))
+        raise ValueError(
+            "Cached attention moved to the stacked-cache path inside "
+            "stack_forward (_block_forward_cached); pass caches there."
+        )
 
-        if fused_prefill and t > 1 and _fused_attention_available():
-            # The chunk IS the whole attention context (empty cache): run
-            # the fused Pallas kernel over the fresh q/k/v directly.
-            from ..ops.pallas.attention import fused_gqa_attention
-
-            mask = attn_mask if attn_mask is not None else jnp.ones((b, t), bool)
-            attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
-        else:
-            attn = None
-
-        if attn is None:
-            scores = _gqa_scores(q, ck) * scale  # (B, Hq, T, S)
-            key_pos = jnp.arange(s)[None, None, None, :]
-            query_abs = write_pos[:, None, :, None]  # (B,1,T,1)
-            mask = key_pos <= query_abs
-            if key_valid is not None:
-                # Freshly written slots are valid per attn_mask; older
-                # slots per key_valid (the caller updates key_valid once
-                # per forward).
-                kv_now = key_valid.at[bidx, write_pos].set(
-                    jnp.ones((b, t), bool) if attn_mask is None else attn_mask
-                )
-                mask = mask & kv_now[:, None, None, :]
-            scores = jnp.where(mask, scores, -1e30)
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn = _gqa_mix(probs, cv)  # (B, T, Hq, D)
-        new_cache = (ck, cv)
-    else:
-        scores = _gqa_scores(q, k) * scale  # (B, Hq, T, T)
-        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-        mask = causal
-        if attn_mask is not None:
-            mask = mask & attn_mask[:, None, None, :]
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = _gqa_mix(probs, v)
-        new_cache = (k, v)
+    scores = _gqa_scores(q, k) * scale  # (B, Hq, T, T)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    mask = causal
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, None, :]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    attn = _gqa_mix(probs, v)
+    new_cache = (k, v)
 
     attn = attn.reshape(b, t, cfg.q_heads * cfg.head_dim).astype(x.dtype)
     x = x + qmm(attn, params["wo"])
@@ -240,6 +209,76 @@ def block_forward(
     up = qmm(h, params["w_up"]).astype(jnp.float32)
     x = x + qmm((gate * up).astype(x.dtype), params["w_down"])
     return x, new_cache
+
+
+def _block_forward_cached(
+    params: Params,
+    cfg: TransformerConfig,
+    x: jnp.ndarray,  # (B, T, hidden)
+    positions: jnp.ndarray,  # (B, T)
+    ck_all: jnp.ndarray,  # (L, B, S, Hkv, D) — full stacked K cache
+    cv_all: jnp.ndarray,  # (L, B, S, Hkv, D)
+    layer: int,  # static layer index
+    slot: jnp.ndarray,  # scalar int32 write slot
+    attn_mask: Optional[jnp.ndarray],
+    key_valid: Optional[jnp.ndarray],  # (B, S), ALREADY includes new slots
+    fused_prefill: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One cached transformer block, writing into the stacked cache.
+
+    Cache slots are batch-uniform (prompts are left-padded so every row
+    writes the same slot range), so the write is one dynamic_update_slice
+    of shape (1, B, T, Hkv, D) into the carried (L, B, S, Hkv, D) array —
+    XLA updates it in place. The per-layer read is a static slice that
+    fuses into the attention einsum. The previous formulation (per-row
+    scatter + scan-over-layers emitting caches as ys) re-materialized the
+    entire cache every decode step — ~1 ms/step at S=384 on v5e.
+    """
+    b, t, _ = x.shape
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+
+    h = rms_norm(x, params["attn_norm"], cfg.rms_eps)
+    qkv = qmm(h, params["wqkv"])
+    q, k, v = _split_qkv(qkv, cfg)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    s = ck_all.shape[2]
+    lz = jnp.int32(layer)
+    z = jnp.int32(0)
+    ck_all = jax.lax.dynamic_update_slice(
+        ck_all, k.astype(ck_all.dtype)[None], (lz, z, slot, z, z)
+    )
+    cv_all = jax.lax.dynamic_update_slice(
+        cv_all, v.astype(cv_all.dtype)[None], (lz, z, slot, z, z)
+    )
+
+    if fused_prefill and t > 1 and _fused_attention_available():
+        # The chunk IS the whole attention context (empty cache): run
+        # the fused Pallas kernel over the fresh q/k/v directly.
+        from ..ops.pallas.attention import fused_gqa_attention
+
+        mask = attn_mask if attn_mask is not None else jnp.ones((b, t), bool)
+        attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
+    else:
+        scores = _gqa_scores(q, ck_all[layer]) * scale  # (B, Hq, T, S)
+        key_pos = jnp.arange(s)[None, None, None, :]
+        query_abs = (slot + jnp.arange(t))[None, None, :, None]  # (1,1,T,1)
+        mask = key_pos <= query_abs
+        if key_valid is not None:
+            mask = mask & key_valid[:, None, None, :]
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = _gqa_mix(probs, cv_all[layer])  # (B, T, Hq, D)
+
+    attn = attn.reshape(b, t, cfg.q_heads * cfg.head_dim).astype(x.dtype)
+    x = x + qmm(attn, params["wo"])
+
+    h = rms_norm(x, params["mlp_norm"], cfg.rms_eps)
+    gate = jax.nn.silu(qmm(h, params["w_gate"]).astype(jnp.float32))
+    up = qmm(h, params["w_up"]).astype(jnp.float32)
+    x = x + qmm((gate * up).astype(x.dtype), params["w_down"])
+    return x, ck_all, cv_all
 
 
 def stack_forward(
@@ -270,18 +309,28 @@ def stack_forward(
 
         x, (ks, vs) = jax.lax.scan(body, x, blocks)
     else:
-        ck_all, cv_all = kv_caches
-
-        def body(carry, inp):
-            h = carry
-            layer_params, ck, cv = inp
-            out, (nk, nv) = block_forward(
-                layer_params, cfg, h, positions, (ck, cv), cache_len, attn_mask,
-                key_valid, fused_prefill,
+        ck_all, cv_all = kv_caches  # (L, B, S, Hkv, D) each
+        b, t, _ = x.shape
+        slot = jnp.asarray(cache_len, jnp.int32)
+        if key_valid is not None:
+            # Mark this forward's slots valid ONCE for all layers (the old
+            # per-layer scatter re-materialized a (B, S) mask 30×/step).
+            new_valid = (
+                jnp.ones((b, t), bool) if attn_mask is None else attn_mask
             )
-            return out, (nk, nv)
-
-        x, (ks, vs) = jax.lax.scan(body, x, (blocks, ck_all, cv_all))
+            key_valid = jax.lax.dynamic_update_slice(
+                key_valid, new_valid, (jnp.int32(0), slot)
+            )
+        # Python-unrolled layers: the stacked caches thread through as a
+        # carried value updated in place; a scan-over-layers would emit
+        # them as ys, copying the whole cache every step.
+        for layer in range(int(ck_all.shape[0])):
+            lp = jax.tree.map(lambda a: a[layer], blocks)
+            x, ck_all, cv_all = _block_forward_cached(
+                lp, cfg, x, positions, ck_all, cv_all, layer, slot,
+                attn_mask, key_valid, fused_prefill,
+            )
+        ks, vs = ck_all, cv_all
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x, (ks, vs)

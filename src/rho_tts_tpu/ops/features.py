@@ -102,33 +102,68 @@ def f0_yin(
     tau_max = min(int(sr / fmin) + 1, frame_length // 2)
     cmnd, e0 = _yin_cmnd(wav, frame_length, hop, tau_max)
     cmnd, e0 = np.asarray(cmnd), np.asarray(e0)  # (T, tau_max+1), (T,)
+    return yin_pick(
+        cmnd, e0, sr, tau_min, tau_max, frame_length, threshold, voiced_threshold
+    )
 
+
+def yin_pick(
+    cmnd: np.ndarray,
+    e0: np.ndarray,
+    sr: int,
+    tau_min: int,
+    tau_max: int,
+    frame_length: int,
+    threshold: float,
+    voiced_threshold: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """YIN dip selection on host, vectorized over frames.
+
+    Semantics: per frame, the candidate lag is the first tau with
+    CMND < ``threshold``, walked forward to its local minimum (classic YIN
+    absolute-threshold step); if no dip crosses the threshold, the global
+    argmin. A frame is voiced when the selected CMND value is below
+    ``voiced_threshold`` and the frame has energy. The selected lag is
+    refined by parabolic interpolation.
+    """
     t_frames = cmnd.shape[0]
     f0 = np.full(t_frames, np.nan, np.float64)
     voiced = np.zeros(t_frames, bool)
+    if t_frames == 0:
+        return f0, voiced
     energy_gate = 1e-6 * (frame_length // 2)
-    for t in range(t_frames):
-        if e0[t] < energy_gate:
-            continue  # silent frame → unvoiced
-        c = cmnd[t]
-        below = np.nonzero(c[tau_min:tau_max] < threshold)[0]
-        if below.size:
-            tau = tau_min + below[0]
-            # walk to the local minimum of this dip
-            while tau + 1 < tau_max and c[tau + 1] < c[tau]:
-                tau += 1
-        else:
-            tau = tau_min + int(np.argmin(c[tau_min:tau_max]))
-        if c[tau] < voiced_threshold:
-            # Parabolic interpolation around the minimum
-            if 0 < tau < tau_max - 1:
-                a, b_, cc = c[tau - 1], c[tau], c[tau + 1]
-                denom = a - 2 * b_ + cc
-                shift = 0.5 * (a - cc) / denom if abs(denom) > 1e-12 else 0.0
-            else:
-                shift = 0.0
-            f0[t] = sr / (tau + shift)
-            voiced[t] = True
+    active = e0 >= energy_gate  # (T,)
+
+    seg = cmnd[:, tau_min:tau_max]  # (T, R)
+    below = seg < threshold
+    has_below = below.any(axis=1)
+    tau0 = tau_min + np.argmax(below, axis=1)  # first below-threshold lag
+
+    # Walk to the dip's local minimum: the first tau >= tau0 where
+    # c[tau+1] >= c[tau] (the loop's stop condition), bounded by tau_max-1.
+    dec = cmnd[:, 1:tau_max] < cmnd[:, : tau_max - 1]  # dec[t, k] = c[k+1] < c[k]
+    ks = np.arange(tau_max - 1)[None, :]
+    stop = np.where((ks >= tau0[:, None]) & ~dec, ks, tau_max - 1)
+    tau_walk = stop.min(axis=1)
+    tau_argmin = tau_min + np.argmin(seg, axis=1)
+    tau = np.where(has_below, tau_walk, tau_argmin)  # (T,)
+
+    rows = np.arange(t_frames)
+    c_tau = cmnd[rows, tau]
+    is_voiced = active & (c_tau < voiced_threshold)
+
+    # Parabolic interpolation around the selected lag (interior lags only)
+    interior = (tau > 0) & (tau < tau_max - 1)
+    a = cmnd[rows, np.maximum(tau - 1, 0)]
+    c2 = cmnd[rows, np.minimum(tau + 1, cmnd.shape[1] - 1)]
+    denom = a - 2.0 * c_tau + c2
+    safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
+    shift = np.where(np.abs(denom) > 1e-12, 0.5 * (a - c2) / safe, 0.0)
+    shift = np.where(interior, shift, 0.0)
+
+    f0_all = sr / (tau + shift)
+    f0[is_voiced] = f0_all[is_voiced]
+    voiced[:] = is_voiced
     return f0, voiced
 
 
@@ -190,3 +225,46 @@ def estimate_formants(wav, sr: int = MFCC_SR) -> Tuple[float, float]:
     f1 = float(freqs[0]) if len(freqs) > 0 else 0.0
     f2 = float(freqs[1]) if len(freqs) > 1 else 0.0
     return f1, f2
+
+
+# ---------------------------------------------------------------------------
+# Batched feature cores (bucketed static shapes, valid-length masking)
+#
+# One device program computes MFCC statistics and the YIN difference
+# surface for a whole batch of utterances; the serial path above is the
+# semantic reference (kept for single clips and as the test oracle).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("sr", "n_mfcc", "n_fft", "hop", "n_mels"))
+def _mfcc_stats_batch(wavs, frame_counts, sr: int, n_mfcc: int, n_fft: int, hop: int, n_mels: int):
+    """Masked per-utterance MFCC mean/std.
+
+    wavs: (B, L) — each row reflect-padded past its valid length so the
+    STFT's boundary frames match the unpadded per-clip computation.
+    frame_counts: (B,) valid frame counts (1 + n_valid // hop).
+    Returns (mean (B, n_mfcc), std (B, n_mfcc)).
+    """
+    window = spectral.hann_window(n_fft)
+    spec = jax.vmap(lambda w: spectral.stft(w, n_fft, hop, n_fft, window, center=True))(wavs)
+    power = jnp.abs(spec) ** 2  # (B, F, T)
+    fb = spectral.mel_filterbank(sr, n_fft, n_mels)
+    mels = jnp.einsum("mf,bft->bmt", fb, power)
+    db = 10.0 * jnp.log10(jnp.maximum(mels, 1e-10))
+    t = db.shape[-1]
+    mask = (jnp.arange(t)[None, :] < frame_counts[:, None])  # (B, T)
+    db_max = jnp.max(jnp.where(mask[:, None, :], db, -jnp.inf), axis=(1, 2))
+    db = jnp.maximum(db, db_max[:, None, None] - 80.0)
+    dct = spectral.dct_matrix(n_mfcc, n_mels)
+    mf = jnp.einsum("cm,bmt->bct", dct, db)  # (B, n_mfcc, T)
+    cnt = jnp.maximum(frame_counts, 1).astype(jnp.float32)[:, None]
+    m = jnp.where(mask[:, None, :], mf, 0.0)
+    mean = m.sum(-1) / cnt
+    var = jnp.where(mask[:, None, :], (mf - mean[..., None]) ** 2, 0.0).sum(-1) / cnt
+    return mean, jnp.sqrt(var)
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop", "tau_max"))
+def _yin_cmnd_batch(wavs, frame_length: int, hop: int, tau_max: int):
+    """Batched YIN CMND surfaces: (B, L) → ((B, T, tau_max+1), (B, T))."""
+    return jax.vmap(lambda w: _yin_cmnd(w, frame_length, hop, tau_max))(wavs)

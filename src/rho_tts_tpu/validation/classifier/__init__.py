@@ -136,3 +136,47 @@ def predict_accent_drift_probability(
         warnings.filterwarnings("ignore", message=".*does not have valid feature names.*")
         prob = model.predict_proba([feat])[0][1]  # P(bad)
     return float(prob)
+
+
+def predict_accent_drift_probability_batch(
+    audios,
+    sample_rate: int,
+    voice_id: Optional[str] = None,
+    model_path: Optional[str] = None,
+):
+    """P(accent drift) for a batch of in-memory waveforms.
+
+    Returns a list of floats (None per clip whose features failed). The
+    whole batch shares one bucketed feature program and one forest/sklearn
+    inference call — the validation hot path of the batched pipeline.
+    """
+    _load_model(model_path, voice_id)
+    cache_key = model_path if model_path is not None else (voice_id or "__global__")
+    model = _models.get(cache_key)
+    if model is None:
+        logger.debug("No classifier model loaded, skipping accent drift prediction")
+        return [None] * len(audios)
+
+    from .trainer import extract_features_batch_audio
+
+    feats = extract_features_batch_audio(audios, sample_rate)
+    ok_idx = [i for i, f in enumerate(feats) if f is not None]
+    out: list = [None] * len(audios)
+    if not ok_idx:
+        return out
+    x = np.stack([feats[i] for i in ok_idx])
+
+    arrays = _forest_arrays.get(cache_key)
+    if arrays is not None:
+        from .forest_jax import predict_proba as forest_predict
+
+        probs = forest_predict(arrays, x)
+    else:
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message=".*does not have valid feature names.*"
+            )
+            probs = model.predict_proba(x)[:, 1]
+    for i, pr in zip(ok_idx, probs):
+        out[i] = float(pr)
+    return out

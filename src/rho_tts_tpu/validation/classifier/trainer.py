@@ -100,6 +100,205 @@ def extract_features_batch(paths, progress_callback=None, progress_interval=10):
     return out, ok
 
 
+# ---------------------------------------------------------------------------
+# Batched in-memory feature extraction (the validation hot path)
+#
+# The per-clip path above costs ~6 host↔device round trips per clip and
+# compiles one program per clip length. This path buckets every segment of
+# a batch into ONE device program (MFCC stats + YIN surfaces + speaker LSTM
+# windows) with two host syncs total, so the drift gate scales with audio
+# seconds, not relay latency.
+# ---------------------------------------------------------------------------
+
+_YIN_FRAME = 2048
+_YIN_HOP = 512
+_MFCC_HOP = 512
+_MFCC_NFFT = 2048
+
+
+def _bucket(n: int, minimum: int = 16000) -> int:
+    """Next power-of-two bucket ≥ max(n, minimum) (bounds recompiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _reflect_zero_pad(w: np.ndarray, total: int, reflect: int) -> np.ndarray:
+    """Pad to ``total``: first mirror up to ``reflect`` samples of the tail
+    (so STFT boundary frames match the unpadded signal's center-reflection),
+    then zero-fill."""
+    n = w.shape[0]
+    pad = total - n
+    if pad <= 0:
+        return w[:total]
+    r = min(reflect, pad, max(n - 1, 0))
+    out = np.zeros(total, np.float32)
+    out[:n] = w
+    if r > 0:
+        out[n : n + r] = w[n - 2 - np.arange(r)]
+    return out
+
+
+def _drift_features_core(spk_params, wavs, frame_counts, spk_wavs, spk_frames, starts, win_valid):
+    """One device program: MFCC stats + YIN surfaces + speaker embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from ...models.speaker import encoder as spk_enc
+    from ...ops import features as feats
+
+    tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
+    mean, std = feats._mfcc_stats_batch(
+        wavs, frame_counts, feats.MFCC_SR, 13, _MFCC_NFFT, _MFCC_HOP, 128
+    )
+    cmnd, e0 = feats._yin_cmnd_batch(wavs, _YIN_FRAME, _YIN_HOP, tau_max)
+    # Mel frames past each utterance's count are zeroed to match the
+    # per-clip path's zero-padding of short mel sequences.
+    mels = jax.vmap(spk_enc.log_mel)(spk_wavs)  # (B, T, n_mels)
+    fmask = jnp.arange(mels.shape[1])[None, :] < spk_frames[:, None]
+    mels = jnp.where(fmask[..., None], mels, 0.0)
+    embeds = spk_enc._forward_windows(spk_params, mels, starts, win_valid)
+    return mean, std, cmnd, e0, embeds
+
+
+_drift_core_jit = None
+
+
+def extract_features_batch_audio(audios, sample_rate: int):
+    """286-d features for a batch of in-memory waveforms (shared rate).
+
+    Returns a list of np.ndarray (None per failed clip). Numerically
+    matches :func:`extract_features` to float tolerance (golden-tested);
+    uses bucketed static shapes and two host syncs for the whole batch.
+    """
+    global _drift_core_jit
+    import jax
+    import jax.numpy as jnp
+
+    from ...models.speaker import encoder as spk_enc
+    from ...ops import features as feats
+    from ...ops.resample import _sinc_kernel, _resample_core
+
+    b = len(audios)
+    if b == 0:
+        return []
+    try:
+        sr = int(sample_rate)
+        # -- 1. Resample the whole batch on device, one fetch -------------
+        if sr != feats.MFCC_SR:
+            import math
+
+            g = math.gcd(sr, feats.MFCC_SR)
+            of, nf = sr // g, feats.MFCC_SR // g
+            kernel, width = _sinc_kernel(of, nf)
+            raw_lens = [int(np.prod(np.shape(a))) for a in audios]
+            lraw = _bucket(max(raw_lens))
+            stacked = jnp.stack(
+                [
+                    jnp.pad(jnp.asarray(a, jnp.float32).reshape(-1), (0, lraw - n))
+                    for a, n in zip(audios, raw_lens)
+                ]
+            )
+            tgt = math.ceil(nf * lraw / of)
+            res = jax.vmap(
+                lambda x: _resample_core(x, kernel, width, of, nf, tgt)
+            )(stacked)
+            host16 = np.asarray(jax.device_get(res))
+            wavs16 = [
+                host16[i, : math.ceil(nf * raw_lens[i] / of)] for i in range(b)
+            ]
+        else:
+            wavs16 = [
+                np.asarray(a, np.float32).reshape(-1) for a in jax.device_get(list(audios))
+            ]
+
+        lens = np.array([w.shape[0] for w in wavs16], np.int64)
+        l16 = _bucket(int(lens.max()) + _MFCC_NFFT)  # slack for reflect pad
+        batch = np.stack(
+            [_reflect_zero_pad(w, l16, _MFCC_NFFT // 2) for w in wavs16]
+        )
+        mfcc_counts = 1 + lens // _MFCC_HOP
+        yin_counts = np.maximum((lens - _YIN_FRAME) // _YIN_HOP + 1, 1)
+
+        # -- 2. Speaker preprocessing (host: normalize + VAD) --------------
+        spk_wavs = [spk_enc.preprocess(w, feats.MFCC_SR) for w in wavs16]
+        spk_lens = np.array([max(w.shape[0], 1) for w in spk_wavs], np.int64)
+        ls = _bucket(int(spk_lens.max()) + spk_enc.N_FFT)
+        spk_batch = np.stack(
+            [
+                _reflect_zero_pad(w if w.size else np.zeros(1, np.float32), ls, spk_enc.N_FFT // 2)
+                for w in spk_wavs
+            ]
+        )
+        t_frames = 1 + spk_lens // spk_enc.HOP_LENGTH
+        all_starts, n_windows = [], []
+        for t in t_frames:
+            t_eff = max(int(t), spk_enc.PARTIAL_FRAMES)
+            s = list(
+                range(0, t_eff - spk_enc.PARTIAL_FRAMES + 1, spk_enc.PARTIAL_FRAMES // 2)
+            ) or [0]
+            all_starts.append(s)
+            n_windows.append(len(s))
+        nw = -(-max(n_windows) // 4) * 4  # round up to 4
+        starts = np.zeros((b, nw), np.int32)
+        win_valid = np.zeros((b, nw), bool)
+        for i, s in enumerate(all_starts):
+            starts[i, : len(s)] = s
+            win_valid[i, : len(s)] = True
+
+        # -- 3. One device program + one fetch ------------------------------
+        if _drift_core_jit is None:
+            _drift_core_jit = jax.jit(_drift_features_core)
+        encoder = _get_encoder()
+        mean, std, cmnd, e0, embeds = _drift_core_jit(
+            encoder.params,
+            jnp.asarray(batch),
+            jnp.asarray(mfcc_counts, jnp.int32),
+            jnp.asarray(spk_batch),
+            jnp.asarray(t_frames, jnp.int32),
+            jnp.asarray(starts),
+            jnp.asarray(win_valid),
+        )
+        mean, std, cmnd, e0, embeds = jax.device_get((mean, std, cmnd, e0, embeds))
+
+        # -- 4. Host: YIN picking (vectorized), formants, assembly ----------
+        tau_min = max(int(feats.MFCC_SR / 2093.0), 1)
+        tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
+        t_all = cmnd.shape[1]
+        f0_flat, voiced_flat = feats.yin_pick(
+            cmnd.reshape(b * t_all, -1),
+            e0.reshape(b * t_all),
+            feats.MFCC_SR,
+            tau_min,
+            tau_max,
+            _YIN_FRAME,
+            0.1,
+            0.5,
+        )
+        f0_all = f0_flat.reshape(b, t_all)
+        voiced_all = voiced_flat.reshape(b, t_all)
+
+        out = []
+        for i in range(b):
+            k = int(yin_counts[i])
+            f0v = f0_all[i, :k][voiced_all[i, :k]]
+            f0_mean = float(np.mean(f0v)) if f0v.size else 0.0
+            f0_std = float(np.std(f0v)) if f0v.size else 0.0
+            from ...ops.features import estimate_formants
+
+            f1, f2 = estimate_formants(wavs16[i])
+            out.append(
+                np.concatenate(
+                    [embeds[i], mean[i], std[i], [f0_mean, f0_std, f1, f2]]
+                )
+            )
+        return out
+    except Exception as e:  # noqa: BLE001 — fall back to the serial path
+        logger.warning("Batched feature extraction failed (%s); serial fallback", e)
+        return [extract_features(a, sample_rate=sample_rate) for a in audios]
+
+
 def train(
     dataset_dir: str,
     voice_id: Optional[str] = None,
