@@ -127,8 +127,27 @@ def init_params(key, cfg: ChatterboxConfig) -> Params:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _prefill(params, cfg: ChatterboxConfig, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid):
-    b, p, _ = embeds.shape
+def _prefill(
+    params, cfg: ChatterboxConfig,
+    ids_slotted, text_mask, bos_mask, spk_mask, spk,
+    rope_pos, attn_mask, cache_k, cache_v, key_valid,
+):
+    """Prompt embedding + prefill in ONE program.
+
+    The (2, P) prompt rows [cond, uncond] are described by host-built masks
+    (text / BOS / speaker-prefix slots); assembling the embeddings on
+    device avoids a chain of eager gather dispatches per generate() call.
+    """
+    b, p = ids_slotted.shape
+    dt = params["text_embed"].dtype
+    emb = params["text_embed"][ids_slotted]  # (2, P, H)
+    spk_e = (spk.astype(jnp.float32) @ params["spk_proj"].astype(jnp.float32)).astype(dt)
+    bos_e = params["speech_embed"][cfg.speech_bos].astype(dt)
+    embeds = (
+        emb * text_mask[..., None]
+        + bos_e[None, None] * bos_mask[..., None]
+        + spk_e[None, None] * spk_mask[..., None]
+    )
     h, (ck, cv) = tfm.stack_forward(
         params["talker"], cfg.talker, embeds, rope_pos,
         kv_caches=(cache_k, cache_v), cache_len=jnp.int32(0),
@@ -218,10 +237,10 @@ class ChatterboxModel:
         self.tokenizer = load_tokenizer(None, vocab_size=cfg.text_vocab)
         if params is None:
             params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(seed), cfg)
-        if quantization == "int8":
+        if quantization in ("int8", "int4"):
             from ..quantization import quantize_stack
 
-            params = {**params, "talker": quantize_stack(params["talker"])}
+            params = {**params, "talker": quantize_stack(params["talker"], quantization)}
         elif quantization not in (None, "none"):
             raise ValueError(f"Unsupported quantization: {quantization}")
         self.params = params
@@ -294,24 +313,30 @@ class ChatterboxModel:
             spk = np.asarray(self.conditionals)
 
         ids = np.asarray(self.tokenizer.encode(text), np.int32)
-        pieces = []
-        if spk is not None:
-            pieces.append((jnp.asarray(spk, jnp.float32) @ self.params["spk_proj"].astype(jnp.float32))[None].astype(self.params["text_embed"].dtype))
-        pieces.append(self.params["text_embed"][ids])
-        pieces.append(self.params["speech_embed"][cfg.speech_bos][None])
-        cond_row = jnp.concatenate(pieces, axis=0)
-        # Unconditional row: same speaker conditioning, no text
-        if spk is not None:
-            uncond_row = jnp.concatenate([pieces[0], pieces[-1]], axis=0)
-        else:
-            uncond_row = pieces[-1]
-
-        rows = [cond_row, uncond_row]
-        lens = [int(r.shape[0]) for r in rows]
+        nt = int(ids.shape[0])
+        has_spk = spk is not None
+        # Left-padded prompt rows, described by host-built masks so the
+        # embedding assembly runs inside the prefill program:
+        #   cond   = [pad…, spk?, text…, BOS]   uncond = [pad…, spk?, BOS]
+        lens = [nt + 1 + int(has_spk), 1 + int(has_spk)]
         p = _round_up(max(lens), PROMPT_BUCKET)
-        embeds = jnp.stack([jnp.pad(r, ((p - n, 0), (0, 0))) for r, n in zip(rows, lens)])
-        rope_pos = jnp.stack([jnp.maximum(jnp.arange(p) - (p - n), 0) for n in lens]).astype(jnp.int32)
-        attn_mask = jnp.stack([jnp.arange(p) >= (p - n) for n in lens])
+        ids_slotted = np.zeros((2, p), np.int32)
+        text_mask = np.zeros((2, p), np.float32)
+        bos_mask = np.zeros((2, p), np.float32)
+        spk_mask = np.zeros((2, p), np.float32)
+        ids_slotted[0, p - 1 - nt : p - 1] = ids
+        text_mask[0, p - 1 - nt : p - 1] = 1.0
+        bos_mask[:, p - 1] = 1.0
+        if has_spk:
+            spk_mask[0, p - 2 - nt] = 1.0
+            spk_mask[1, p - 2] = 1.0
+        spk_vec = np.asarray(spk, np.float32) if has_spk else np.zeros(
+            self.params["spk_proj"].shape[0], np.float32
+        )
+        rope_pos = np.stack(
+            [np.maximum(np.arange(p) - (p - n), 0) for n in lens]
+        ).astype(np.int32)
+        attn_mask = np.stack([np.arange(p) >= (p - n) for n in lens])
 
         max_new = max_new_tokens or cfg.max_new_tokens
         if max_new is None:
@@ -327,25 +352,30 @@ class ChatterboxModel:
         key_valid = jnp.zeros((2, s), bool)
 
         logits, cache_k, cache_v, key_valid = _prefill(
-            self.params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+            self.params, cfg,
+            jnp.asarray(ids_slotted), jnp.asarray(text_mask),
+            jnp.asarray(bos_mask), jnp.asarray(spk_mask), jnp.asarray(spk_vec),
+            jnp.asarray(rope_pos), jnp.asarray(attn_mask),
+            cache_k, cache_v, key_valid,
         )
         rng, k0 = jax.random.split(rng)
         tok0 = _cfg_sample(logits, k0, jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight))
         done = tok0 == cfg.speech_eos
         rope_base = jnp.asarray(lens, jnp.int32)
 
-        # Token/done chunks stay ON DEVICE; the loop's only host sync is the
-        # tiny early-exit flag (one relay round-trip per chunk instead of 3).
+        # Token/done chunks stay ON DEVICE. Early exit uses a LAGGED flag:
+        # chunk k's all-done scalar is fetched while chunk k+1 computes, so
+        # the host never stalls the device queue (worst case one surplus
+        # chunk after EOS instead of a blocking relay round-trip per chunk).
         all_toks = [tok0[:, None]]
         all_done = [done[:, None]]
         last_tok = tok0
         slot0 = jnp.int32(p)
+        prev_flag = None
 
         for _ in range(n_chunks):
             if cancel_check is not None:
                 cancel_check()
-            if bool(np.asarray(jnp.all(done))):
-                break
             (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
                 slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
@@ -354,6 +384,12 @@ class ChatterboxModel:
             all_toks.append(toks)
             all_done.append(dones)
             slot0 = slot0 + CHUNK
+            # Early exit on the PREVIOUS chunk's flag: it is already
+            # materialized, so the fetch overlaps the chunk just dispatched
+            # (worst case one surplus chunk, never a device stall).
+            if prev_flag is not None and bool(np.asarray(prev_flag)):
+                break
+            prev_flag = jnp.all(done)
 
         # One packed fetch for the whole token/done history (cond row only)
         packed = np.asarray(

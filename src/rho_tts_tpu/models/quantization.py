@@ -31,23 +31,40 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w for dense or quantized ({"q","s"}) weights."""
+    """x @ w for dense or quantized ({"q","s"} int8 / {"q4","s"} int4) weights."""
     if isinstance(w, dict):
+        if "q4" in w:
+            from ..ops.pallas.int4_matmul import int4_matmul
+
+            return int4_matmul(x, w["q4"], w["s"])
         y = x @ w["q"].astype(x.dtype)
         return (y.astype(jnp.float32) * w["s"]).astype(x.dtype)
     return x @ w
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w
+    return isinstance(w, dict) and ("q" in w or "q4" in w)
 
 
-def quantize_stack(stack_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize a transformer stack's matmul weights (norms stay f32)."""
+def quantize_stack(stack_params: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
+    """Quantize a transformer stack's matmul weights (norms stay f32).
+
+    mode "int8": per-channel symmetric int8 (default).
+    mode "int4": packed-nibble int4 — halves decode HBM traffic again;
+    dequantized in VMEM by the Pallas kernel (``ops.pallas.int4_matmul``).
+    """
+    if mode == "int4":
+        from ..ops.pallas.int4_matmul import pack_int4
+
+        quant = pack_int4
+    elif mode == "int8":
+        quant = quantize_weight
+    else:
+        raise ValueError(f"Unknown quantization mode: {mode!r}")
     blocks = dict(stack_params["blocks"])
     for name in QUANT_KEYS:
         if name in blocks and not is_quantized(blocks[name]):
-            blocks[name] = jax.jit(quantize_weight)(blocks[name])
+            blocks[name] = jax.jit(quant)(blocks[name])
     return {**stack_params, "blocks": blocks}
 
 

@@ -259,12 +259,13 @@ class QwenTTSModel:
             params = jax.jit(init_params, static_argnums=1)(
                 jax.random.PRNGKey(seed), config
             )
-        if quantization == "int8":
-            # Weight-only int8 on the talker: halves decode HBM traffic
-            # (inference only — training uses dense weights).
+        if quantization in ("int8", "int4"):
+            # Weight-only quantization on the talker: int8 halves decode
+            # HBM traffic, int4 halves it again (inference only — training
+            # uses dense weights).
             from ..quantization import quantize_stack
 
-            params = {**params, "talker": quantize_stack(params["talker"])}
+            params = {**params, "talker": quantize_stack(params["talker"], quantization)}
         elif quantization not in (None, "none"):
             raise ValueError(f"Unsupported quantization: {quantization}")
         self.quantization = quantization
@@ -482,18 +483,17 @@ class QwenTTSModel:
         done = tok0 == cfg.audio_eos
         rope_base = jnp.asarray(lens, jnp.int32)
 
-        # Code/done chunks accumulate ON DEVICE; the loop's only host sync
-        # is the early-exit flag (one relay round-trip per chunk, not 3).
+        # Code/done chunks accumulate ON DEVICE; early exit uses a LAGGED
+        # all-done flag so its fetch overlaps the next chunk's execution.
         all_codes = [first_codes[:, None, :]]
         all_done = [done[:, None]]
         last_codes = first_codes
         slot0 = jnp.int32(p)
+        prev_flag = None
 
         for _ in range(n_chunks):
             if cancel_check is not None:
                 cancel_check()
-            if bool(np.asarray(jnp.all(done))):
-                break
             with profiling.stage("qwen/decode_chunk"):
                 (
                     codes_chunk,
@@ -524,6 +524,12 @@ class QwenTTSModel:
             all_codes.append(codes_chunk)
             all_done.append(done_chunk)
             slot0 = slot0 + CHUNK
+            # Early exit on the PREVIOUS chunk's flag: it is already
+            # materialized, so the fetch overlaps the chunk just dispatched
+            # (worst case one surplus chunk, never a device stall).
+            if prev_flag is not None and bool(np.asarray(prev_flag)):
+                break
+            prev_flag = jnp.all(done)
 
         # One packed fetch: codes and the done flags ride the same transfer
         packed = np.asarray(

@@ -239,8 +239,15 @@ def greedy_decode(
             q = _heads(h @ blk["attn"]["q"]["w"] + blk["attn"]["q"]["b"], heads)
             k_new = _heads(h @ blk["attn"]["k"]["w"], heads)
             v_new = _heads(h @ blk["attn"]["v"]["w"] + blk["attn"]["v"]["b"], heads)
-            cache_k = cache_k.at[li, :, pos_idx].set(jnp.moveaxis(k_new, 1, 0))
-            cache_v = cache_v.at[li, :, pos_idx].set(jnp.moveaxis(v_new, 1, 0))
+            # Batch-uniform slot → dynamic_update_slice (in-place), not a
+            # scatter (which would copy the cache every decode step).
+            z = jnp.int32(0)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_new[None], (jnp.int32(li), z, jnp.asarray(pos0, jnp.int32), z, z)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_new[None], (jnp.int32(li), z, jnp.asarray(pos0, jnp.int32), z, z)
+            )
             scale = (d // heads) ** -0.25
             scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, cache_k[li] * scale)
             causal = key_idx[None, None, None, :] <= (pos0 + jnp.arange(t))[None, None, :, None]
@@ -366,13 +373,43 @@ class WhisperTranscriber:
         return self.transcribe_batch([wav], [sample_rate])[0]
 
     def transcribe_batch(self, wavs, sample_rates) -> list:
-        """Transcribe several clips in one batched device call."""
-        prepped = []
-        for wav, sr in zip(wavs, sample_rates):
-            w = np.asarray(wav, np.float32)
-            if sr != SAMPLE_RATE:
-                w = np.asarray(resample(w, sr, SAMPLE_RATE))
-            prepped.append(jnp.asarray(w))
+        """Transcribe several clips in one batched device call.
+
+        Waveforms STAY ON DEVICE end-to-end: clips are capped at the 30 s
+        window, zero-padded to a shared static shape, resampled as one
+        vmapped program and fed straight into mel/encode/decode — the only
+        host transfer is the (B, max_tokens) id matrix. (Fetching audio to
+        host costs seconds per batch on relay-tunneled backends.)
+        """
+        import math
+
+        n16 = CHUNK_FRAMES * HOP  # 30 s at 16 kHz
+        bysr: dict = {}
+        for i, sr in enumerate(sample_rates):
+            bysr.setdefault(int(sr), []).append(i)
+
+        prepped: list = [None] * len(wavs)
+        for sr, idxs in bysr.items():
+            if sr == SAMPLE_RATE:
+                for i in idxs:
+                    w = jnp.asarray(wavs[i], jnp.float32).reshape(-1)[:n16]
+                    prepped[i] = jnp.pad(w, (0, n16 - w.shape[0]))
+                continue
+            from ...ops.resample import _resample_core, _sinc_kernel
+
+            g = math.gcd(sr, SAMPLE_RATE)
+            of, nf = sr // g, SAMPLE_RATE // g
+            kernel, width = _sinc_kernel(of, nf)
+            n_src = n16 * of // nf  # source samples for a full window
+            stacked = []
+            for i in idxs:
+                w = jnp.asarray(wavs[i], jnp.float32).reshape(-1)[:n_src]
+                stacked.append(jnp.pad(w, (0, n_src - w.shape[0])))
+            res = jax.vmap(
+                lambda x: _resample_core(x, kernel, width, of, nf, n16)
+            )(jnp.stack(stacked))
+            for j, i in enumerate(idxs):
+                prepped[i] = res[j]
         toks_batch = self.model.transcribe_tokens_batch(prepped)
         out = []
         for toks in toks_batch:

@@ -268,3 +268,43 @@ def _mfcc_stats_batch(wavs, frame_counts, sr: int, n_mfcc: int, n_fft: int, hop:
 def _yin_cmnd_batch(wavs, frame_length: int, hop: int, tau_max: int):
     """Batched YIN CMND surfaces: (B, L) → ((B, T, tau_max+1), (B, T))."""
     return jax.vmap(lambda w: _yin_cmnd(w, frame_length, hop, tau_max))(wavs)
+
+
+def yin_pick_device(cmnd, e0, sr: int, tau_min: int, tau_max: int,
+                    frame_length: int, threshold: float, voiced_threshold: float):
+    """YIN dip selection as XLA ops (same math as :func:`yin_pick`).
+
+    cmnd (…, T, tau_max+1), e0 (…, T) → (f0 (…, T) with 0 on unvoiced
+    frames, voiced (…, T) bool). Runs on device so the pipeline never
+    fetches the (T, tau) CMND surface to the host.
+    """
+    energy_gate = 1e-6 * (frame_length // 2)
+    active = e0 >= energy_gate
+
+    seg = cmnd[..., tau_min:tau_max]
+    below = seg < threshold
+    has_below = below.any(axis=-1)
+    tau0 = tau_min + jnp.argmax(below, axis=-1)
+
+    dec = cmnd[..., 1:tau_max] < cmnd[..., : tau_max - 1]
+    ks = jnp.arange(tau_max - 1)
+    stop = jnp.where((ks >= tau0[..., None]) & ~dec, ks, tau_max - 1)
+    tau_walk = stop.min(axis=-1)
+    tau_argmin = tau_min + jnp.argmin(seg, axis=-1)
+    tau = jnp.where(has_below, tau_walk, tau_argmin)
+
+    c_tau = jnp.take_along_axis(cmnd, tau[..., None], axis=-1)[..., 0]
+    is_voiced = active & (c_tau < voiced_threshold)
+
+    interior = (tau > 0) & (tau < tau_max - 1)
+    a = jnp.take_along_axis(cmnd, jnp.maximum(tau - 1, 0)[..., None], axis=-1)[..., 0]
+    c2 = jnp.take_along_axis(
+        cmnd, jnp.minimum(tau + 1, cmnd.shape[-1] - 1)[..., None], axis=-1
+    )[..., 0]
+    denom = a - 2.0 * c_tau + c2
+    ok = jnp.abs(denom) > 1e-12
+    shift = jnp.where(ok, 0.5 * (a - c2) / jnp.where(ok, denom, 1.0), 0.0)
+    shift = jnp.where(interior, shift, 0.0)
+
+    f0 = sr / (tau + shift)
+    return jnp.where(is_voiced, f0, 0.0), is_voiced

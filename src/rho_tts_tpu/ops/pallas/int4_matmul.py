@@ -1,0 +1,135 @@
+"""Weight-only int4 matmul: packed nibbles dequantized in VMEM (Pallas).
+
+Single-chip AR decode is HBM-bound on weight reads; int4 halves that
+traffic versus int8. Two signed 4-bit values pack into one int8 byte along
+the contraction (K) dimension — even K rows in the low nibble, odd K rows
+in the high nibble — and the kernel unpacks them in VMEM right before the
+MXU matmul, so HBM only ever sees K/2 bytes per output column.
+
+The pure-jnp `dequant_matmul_reference` computes the identical result and
+serves both as the CPU/test oracle and as the fallback when the Pallas
+path is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BITS_MAX = 7  # symmetric int4: values in [-7, 7]
+
+
+def pack_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-output-channel symmetric int4: w (…, K, N) → {"q4": (…, K//2, N)
+    int8, "s": (…, N) f32}. K must be even."""
+    wf = jnp.asarray(w, jnp.float32)
+    k = wf.shape[-2]
+    if k % 2:
+        raise ValueError(f"int4 packing needs even K, got {k}")
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (…, 1, N)
+    scale = jnp.maximum(absmax, 1e-8) / BITS_MAX
+    q = jnp.clip(jnp.round(wf / scale), -BITS_MAX, BITS_MAX).astype(jnp.int32)
+    lo = q[..., 0::2, :] & 0xF  # (…, K//2, N)
+    hi = q[..., 1::2, :] & 0xF
+    b = (hi << 4) | lo  # 0..255
+    packed = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
+    return {"q4": packed, "s": scale.squeeze(-2).astype(jnp.float32)}
+
+
+def _unpack_nibbles(w8: jnp.ndarray) -> jnp.ndarray:
+    """(…, K//2, N) int8 → (…, K, N) float32 of the signed nibble values."""
+    w32 = w8.astype(jnp.int32)
+    lo = (w32 << 28) >> 28  # sign-extended low nibble
+    hi = w32 >> 4  # arithmetic shift: sign-extended high nibble
+    inter = jnp.stack([lo, hi], axis=-2)  # (…, K//2, 2, N)
+    return inter.reshape(*w8.shape[:-2], 2 * w8.shape[-2], w8.shape[-1]).astype(jnp.float32)
+
+
+def dequant_matmul_reference(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Oracle/fallback: x (B, K) @ dequant(q4, s) → (B, N) in x.dtype."""
+    w = _unpack_nibbles(q4).astype(x.dtype)
+    y = x @ w
+    return (y.astype(jnp.float32) * s).astype(x.dtype)
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w32 = q_ref[:].astype(jnp.int32)  # (Kb//2, Nb)
+    lo = (w32 << 28) >> 28
+    hi = w32 >> 4
+    kh = w32.shape[0]
+    w = jnp.stack([lo, hi], axis=1).reshape(2 * kh, w32.shape[1]).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:] * s_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+try:  # Pallas import is deferred so CPU-only hosts can use the fallback
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # noqa: BLE001
+    _PALLAS_OK = False
+
+
+def _kernel_available() -> bool:
+    if not _PALLAS_OK:
+        return False
+    if os.environ.get("RHO_TTS_TPU_INT4_KERNEL", "1") == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit, static_argnames=())
+def _int4_matmul_call(x, q4, s):
+    b, k = x.shape
+    kh, n = q4.shape
+    kb = min(512, k)  # contraction block (even, ≥ int8 sublane tile ×2)
+    nb = min(512, n)
+    grid = (n // nb, k // kb)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, kb), lambda j, kk: (0, kk)),
+            pl.BlockSpec((kb // 2, nb), lambda j, kk: (kk, j)),
+            pl.BlockSpec((1, nb), lambda j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, nb), lambda j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((b, nb), jnp.float32)],
+    )(x, q4, s.reshape(1, -1))
+
+
+def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """x (…, K) @ int4-packed weights (K//2, N) → (…, N).
+
+    Uses the VMEM-dequant Pallas kernel on TPU when shapes block evenly;
+    otherwise the jnp fallback (identical math).
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = q4.shape[1]
+    x2 = x.reshape(-1, k)
+    kb = min(512, k)
+    nb = min(512, n)
+    if _kernel_available() and k % kb == 0 and n % nb == 0 and kb % 64 == 0:
+        y = _int4_matmul_call(x2, q4, s)
+    else:
+        y = dequant_matmul_reference(x2, q4, s)
+    return y.reshape(*lead, n)

@@ -100,203 +100,285 @@ def extract_features_batch(paths, progress_callback=None, progress_interval=10):
     return out, ok
 
 
+
 # ---------------------------------------------------------------------------
 # Batched in-memory feature extraction (the validation hot path)
 #
-# The per-clip path above costs ~6 host↔device round trips per clip and
-# compiles one program per clip length. This path buckets every segment of
-# a batch into ONE device program (MFCC stats + YIN surfaces + speaker LSTM
-# windows) with two host syncs total, so the drift gate scales with audio
-# seconds, not relay latency.
+# The per-clip path above costs ~6 host/device round trips per clip and
+# compiles one program per clip length. This path keeps EVERYTHING on
+# device — resampling, MFCC statistics, YIN pitch picking, speaker VAD +
+# LSTM embedding, formant autocorrelation — in ONE bucketed program, and
+# fetches only ~6 KB of statistics per batch. On relay-tunneled TPU
+# backends (low host link bandwidth) this is the difference between
+# ~23 s and well under a second for a 5-clip batch.
 # ---------------------------------------------------------------------------
 
 _YIN_FRAME = 2048
 _YIN_HOP = 512
 _MFCC_HOP = 512
 _MFCC_NFFT = 2048
+_LPC_ORDER = 18  # max(12, 16000 // 1000 + 2), matching estimate_formants
+_LPC_FRAME = 400  # 25 ms at 16 kHz
 
 
 def _bucket(n: int, minimum: int = 16000) -> int:
-    """Next power-of-two bucket ≥ max(n, minimum) (bounds recompiles)."""
+    """Next power-of-two bucket >= max(n, minimum) (bounds recompiles)."""
     b = minimum
     while b < n:
         b *= 2
     return b
 
 
-def _reflect_zero_pad(w: np.ndarray, total: int, reflect: int) -> np.ndarray:
-    """Pad to ``total``: first mirror up to ``reflect`` samples of the tail
-    (so STFT boundary frames match the unpadded signal's center-reflection),
-    then zero-fill."""
-    n = w.shape[0]
-    pad = total - n
-    if pad <= 0:
-        return w[:total]
-    r = min(reflect, pad, max(n - 1, 0))
-    out = np.zeros(total, np.float32)
-    out[:n] = w
-    if r > 0:
-        out[n : n + r] = w[n - 2 - np.arange(r)]
-    return out
+def _reflect_fill(wavs, lens, reflect: int):
+    """Replace the zero padding of each row with its reflected tail.
+
+    wavs (B, L) zero-padded past lens (B,); rows become
+    [wav, reflect(tail, reflect), zeros] so STFT boundary frames match the
+    per-clip computation's center-reflection. Pure gather/where — on device.
+    """
+    import jax.numpy as jnp
+
+    l = wavs.shape[-1]
+    j = jnp.arange(l)[None, :]
+    n = lens[:, None]
+    ref_idx = jnp.clip(2 * n - 2 - j, 0, l - 1)
+    refl = jnp.take_along_axis(wavs, ref_idx, axis=-1)
+    return jnp.where(j < n, wavs, jnp.where(j < n + reflect, refl, 0.0))
 
 
-def _drift_features_core(spk_params, wavs, frame_counts, spk_wavs, spk_frames, starts, win_valid):
-    """One device program: MFCC stats + YIN surfaces + speaker embeddings."""
+def _drift_device_core(spk_params, wavs16, lens16, nwb: int):
+    """All drift features for a bucketed 16 kHz batch, on device.
+
+    wavs16 (B, L) zero-padded; lens16 (B,) valid lengths. Returns small
+    per-clip statistics only: (mfcc_mean (B,13), mfcc_std (B,13),
+    f0_mean (B,), f0_std (B,), embeds (B,256), autocorr r (B, order+1)).
+    """
     import jax
     import jax.numpy as jnp
 
     from ...models.speaker import encoder as spk_enc
     from ...ops import features as feats
 
-    tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
+    b, l = wavs16.shape
+    lens16 = jnp.asarray(lens16, jnp.int32)
+
+    # ---- MFCC statistics (masked, reflect-filled boundaries) ----
+    wav_r = _reflect_fill(wavs16, lens16, _MFCC_NFFT // 2)
+    mfcc_counts = 1 + lens16 // _MFCC_HOP
     mean, std = feats._mfcc_stats_batch(
-        wavs, frame_counts, feats.MFCC_SR, 13, _MFCC_NFFT, _MFCC_HOP, 128
+        wav_r, mfcc_counts, feats.MFCC_SR, 13, _MFCC_NFFT, _MFCC_HOP, 128
     )
-    cmnd, e0 = feats._yin_cmnd_batch(wavs, _YIN_FRAME, _YIN_HOP, tau_max)
-    # Mel frames past each utterance's count are zeroed to match the
-    # per-clip path's zero-padding of short mel sequences.
-    mels = jax.vmap(spk_enc.log_mel)(spk_wavs)  # (B, T, n_mels)
-    fmask = jnp.arange(mels.shape[1])[None, :] < spk_frames[:, None]
+
+    # ---- F0 via YIN, picked and reduced on device ----
+    tau_min = max(int(feats.MFCC_SR / 2093.0), 1)
+    tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
+    cmnd, e0 = feats._yin_cmnd_batch(wav_r, _YIN_FRAME, _YIN_HOP, tau_max)
+    f0, voiced = feats.yin_pick_device(
+        cmnd, e0, feats.MFCC_SR, tau_min, tau_max, _YIN_FRAME, 0.1, 0.5
+    )
+    yin_counts = jnp.maximum((lens16 - _YIN_FRAME) // _YIN_HOP + 1, 1)
+    frame_ok = jnp.arange(f0.shape[-1])[None, :] < yin_counts[:, None]
+    vmask = (voiced & frame_ok).astype(jnp.float32)
+    cnt = jnp.maximum(vmask.sum(-1), 1.0)
+    f0_mean = (f0 * vmask).sum(-1) / cnt
+    f0_var = (((f0 - f0_mean[:, None]) ** 2) * vmask).sum(-1) / cnt
+    any_voiced = vmask.sum(-1) > 0
+    f0_mean = jnp.where(any_voiced, f0_mean, 0.0)
+    f0_std = jnp.where(any_voiced, jnp.sqrt(f0_var), 0.0)
+
+    # ---- Speaker embedding: normalize → VAD → log-mel → LSTM windows ----
+    jmask = (jnp.arange(l)[None, :] < lens16[:, None]).astype(jnp.float32)
+    denom = jnp.maximum(lens16.astype(jnp.float32), 1.0)
+    rms = jnp.sqrt((wavs16 * wavs16 * jmask).sum(-1) / denom)
+    target = 10.0 ** (spk_enc.TARGET_DBFS / 20)
+    gain = jnp.where(rms > 1e-8, target / jnp.maximum(rms, 1e-8), 1.0)
+    w = wavs16 * gain[:, None]
+
+    win = int(spk_enc.SAMPLE_RATE * spk_enc.VAD_WINDOW_MS / 1000)
+    nfr = l // win
+    frames = w[:, : nfr * win].reshape(b, nfr, win)
+    frame_rms = jnp.sqrt((frames * frames).mean(-1))
+    voiced_fr = frame_rms > 10.0 ** (spk_enc.VAD_THRESHOLD_DB / 20)
+    # Dilate by one frame each side (conv ones(3) > 0), then clip to the
+    # frames that exist in the per-clip computation (fully within lens).
+    v = voiced_fr.astype(jnp.float32)
+    dil = v + jnp.pad(v[:, 1:], ((0, 0), (0, 1))) + jnp.pad(v[:, :-1], ((0, 0), (1, 0)))
+    nfr_valid = lens16 // win  # frames fully inside the valid region
+    fr_exists = jnp.arange(nfr)[None, :] < nfr_valid[:, None]
+    voiced_fr = (dil > 0) & fr_exists
+    any_vad = voiced_fr.any(-1)
+    # Per-clip semantics: if nothing passes the VAD (or the clip is shorter
+    # than one frame), keep the signal as-is.
+    use_vad = any_vad & (lens16 > win)
+    # Stable-compact the voiced frames to the front, preserving order.
+    order = jnp.argsort(~voiced_fr, axis=-1, stable=True)
+    compact = jnp.take_along_axis(frames, order[..., None], axis=1)
+    keep = jnp.arange(nfr)[None, :] < voiced_fr.sum(-1)[:, None]
+    compact = (compact * keep[..., None]).reshape(b, nfr * win)
+    compact = jnp.pad(compact, ((0, 0), (0, l - nfr * win)))
+    # Append the sub-frame remainder wav[nfr_valid*win : lens16].
+    rem_len = lens16 - nfr_valid * win
+    jr = jnp.arange(win)[None, :]
+    src = jnp.clip(nfr_valid[:, None] * win + jr, 0, l - 1)
+    rem_vals = jnp.take_along_axis(w, src, axis=-1) * (jr < rem_len[:, None])
+    dst = jnp.clip(voiced_fr.sum(-1)[:, None] * win + jr, 0, l - 1)
+    compact = compact.at[jnp.arange(b)[:, None], dst].add(
+        jnp.where(jr < rem_len[:, None], rem_vals, 0.0)
+    )
+    spk_len = jnp.where(use_vad, voiced_fr.sum(-1) * win + rem_len, lens16)
+    spk_wav = jnp.where(use_vad[:, None], compact, w)
+
+    spk_wav = _reflect_fill(spk_wav, spk_len, spk_enc.N_FFT // 2)
+    mels = jax.vmap(spk_enc.log_mel)(spk_wav)  # (B, Tm, 40)
+    t_frames = 1 + spk_len // spk_enc.HOP_LENGTH
+    fmask = jnp.arange(mels.shape[1])[None, :] < t_frames[:, None]
     mels = jnp.where(fmask[..., None], mels, 0.0)
+    half = spk_enc.PARTIAL_FRAMES // 2
+    starts = (jnp.arange(nwb) * half)[None, :].astype(jnp.int32)  # (1, Nw)
+    starts = jnp.broadcast_to(starts, (b, nwb))
+    win_valid = (starts + spk_enc.PARTIAL_FRAMES <= t_frames[:, None]) | (
+        jnp.arange(nwb)[None, :] == 0
+    )
     embeds = spk_enc._forward_windows(spk_params, mels, starts, win_valid)
-    return mean, std, cmnd, e0, embeds
+
+    # ---- Formants: windowed mid-file frame autocorrelation ----
+    y_pre = jnp.concatenate(
+        [wavs16[:, :1], wavs16[:, 1:] - 0.97 * wavs16[:, :-1]], axis=-1
+    )
+    center = lens16 // 2
+    start = jnp.maximum(center - _LPC_FRAME // 2, 0)
+    jf = jnp.arange(_LPC_FRAME)[None, :]
+    fidx = jnp.clip(start[:, None] + jf, 0, l - 1)
+    frame = jnp.take_along_axis(y_pre, fidx, axis=-1)
+    frame = frame * (fidx < lens16[:, None])  # clip at the valid end
+    hann = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(_LPC_FRAME) / (_LPC_FRAME - 1))
+    frame = frame.astype(jnp.float32) * hann[None, :]
+    r = jnp.stack(
+        [(frame[:, : _LPC_FRAME - k] * frame[:, k:]).sum(-1) for k in range(_LPC_ORDER + 1)],
+        axis=-1,
+    )
+    return mean, std, f0_mean, f0_std, embeds, r
 
 
-_drift_core_jit = None
+_core_cache: dict = {}
+
+
+def _get_core(nwb: int, of: int, nf: int):
+    """Jitted end-to-end core for one (window-bucket, resample-ratio) key."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (nwb, of, nf)
+    fn = _core_cache.get(key)
+    if fn is not None:
+        return fn
+
+    if of == nf:
+        def core(spk_params, raw, lens16):
+            return _drift_device_core(spk_params, raw, lens16, nwb)
+    else:
+        from ...ops.resample import _resample_core, _sinc_kernel
+
+        kernel, width = _sinc_kernel(of, nf)
+
+        def core(spk_params, raw, lens16):
+            import math
+
+            lraw = raw.shape[-1]
+            tgt = -(-nf * lraw // of)
+            wav16 = jax.vmap(
+                lambda x: _resample_core(x, kernel, width, of, nf, tgt)
+            )(raw)
+            l16 = _bucket(int(tgt) + _MFCC_NFFT)
+            wav16 = jnp.pad(wav16, ((0, 0), (0, l16 - tgt)))
+            return _drift_device_core(spk_params, wav16, lens16, nwb)
+
+    fn = jax.jit(core)
+    _core_cache[key] = fn
+    return fn
 
 
 def extract_features_batch_audio(audios, sample_rate: int):
     """286-d features for a batch of in-memory waveforms (shared rate).
 
     Returns a list of np.ndarray (None per failed clip). Numerically
-    matches :func:`extract_features` to float tolerance (golden-tested);
-    uses bucketed static shapes and two host syncs for the whole batch.
+    matches :func:`extract_features` to float tolerance (golden-tested).
+    The whole batch runs as ONE bucketed device program; the only host
+    work is LPC root-finding on a (order+1)-element autocorrelation per
+    clip, so host-link traffic is a few KB regardless of audio length.
     """
-    global _drift_core_jit
+    import math
+
     import jax
     import jax.numpy as jnp
 
-    from ...models.speaker import encoder as spk_enc
     from ...ops import features as feats
-    from ...ops.resample import _sinc_kernel, _resample_core
+    from ...ops.features import _levinson
 
     b = len(audios)
     if b == 0:
         return []
     try:
         sr = int(sample_rate)
-        # -- 1. Resample the whole batch on device, one fetch -------------
-        if sr != feats.MFCC_SR:
-            import math
+        g = math.gcd(sr, feats.MFCC_SR)
+        of, nf = sr // g, feats.MFCC_SR // g
 
-            g = math.gcd(sr, feats.MFCC_SR)
-            of, nf = sr // g, feats.MFCC_SR // g
-            kernel, width = _sinc_kernel(of, nf)
-            raw_lens = [int(np.prod(np.shape(a))) for a in audios]
-            lraw = _bucket(max(raw_lens))
-            stacked = jnp.stack(
-                [
-                    jnp.pad(jnp.asarray(a, jnp.float32).reshape(-1), (0, lraw - n))
-                    for a, n in zip(audios, raw_lens)
-                ]
-            )
-            tgt = math.ceil(nf * lraw / of)
-            res = jax.vmap(
-                lambda x: _resample_core(x, kernel, width, of, nf, tgt)
-            )(stacked)
-            host16 = np.asarray(jax.device_get(res))
-            wavs16 = [
-                host16[i, : math.ceil(nf * raw_lens[i] / of)] for i in range(b)
-            ]
+        raw_lens = [int(np.prod(np.shape(a))) for a in audios]
+        lens16 = np.array([math.ceil(nf * n / of) for n in raw_lens], np.int64)
+        if of == nf:
+            lbkt = _bucket(max(raw_lens) + _MFCC_NFFT)
         else:
-            wavs16 = [
-                np.asarray(a, np.float32).reshape(-1) for a in jax.device_get(list(audios))
-            ]
-
-        lens = np.array([w.shape[0] for w in wavs16], np.int64)
-        l16 = _bucket(int(lens.max()) + _MFCC_NFFT)  # slack for reflect pad
-        batch = np.stack(
-            [_reflect_zero_pad(w, l16, _MFCC_NFFT // 2) for w in wavs16]
-        )
-        mfcc_counts = 1 + lens // _MFCC_HOP
-        yin_counts = np.maximum((lens - _YIN_FRAME) // _YIN_HOP + 1, 1)
-
-        # -- 2. Speaker preprocessing (host: normalize + VAD) --------------
-        spk_wavs = [spk_enc.preprocess(w, feats.MFCC_SR) for w in wavs16]
-        spk_lens = np.array([max(w.shape[0], 1) for w in spk_wavs], np.int64)
-        ls = _bucket(int(spk_lens.max()) + spk_enc.N_FFT)
-        spk_batch = np.stack(
+            lbkt = _bucket(max(raw_lens))
+        stacked = jnp.stack(
             [
-                _reflect_zero_pad(w if w.size else np.zeros(1, np.float32), ls, spk_enc.N_FFT // 2)
-                for w in spk_wavs
+                jnp.pad(
+                    jnp.asarray(a, jnp.float32).reshape(-1), (0, lbkt - n)
+                )
+                for a, n in zip(audios, raw_lens)
             ]
         )
-        t_frames = 1 + spk_lens // spk_enc.HOP_LENGTH
-        all_starts, n_windows = [], []
-        for t in t_frames:
-            t_eff = max(int(t), spk_enc.PARTIAL_FRAMES)
-            s = list(
-                range(0, t_eff - spk_enc.PARTIAL_FRAMES + 1, spk_enc.PARTIAL_FRAMES // 2)
-            ) or [0]
-            all_starts.append(s)
-            n_windows.append(len(s))
-        nw = -(-max(n_windows) // 4) * 4  # round up to 4
-        starts = np.zeros((b, nw), np.int32)
-        win_valid = np.zeros((b, nw), bool)
-        for i, s in enumerate(all_starts):
-            starts[i, : len(s)] = s
-            win_valid[i, : len(s)] = True
+        # Static window-count bucket from the 16 kHz length bucket
+        if of == nf:
+            l16 = lbkt
+        else:
+            l16 = _bucket(-(-nf * lbkt // of) + _MFCC_NFFT)
+        t_max = 1 + l16 // 160  # speaker mel frames upper bound
+        from ...models.speaker import encoder as spk_enc
 
-        # -- 3. One device program + one fetch ------------------------------
-        if _drift_core_jit is None:
-            _drift_core_jit = jax.jit(_drift_features_core)
+        nwb = max((t_max - spk_enc.PARTIAL_FRAMES) // (spk_enc.PARTIAL_FRAMES // 2) + 1, 1)
+        nwb = -(-nwb // 4) * 4
+
+        core = _get_core(nwb, of, nf)
         encoder = _get_encoder()
-        mean, std, cmnd, e0, embeds = _drift_core_jit(
-            encoder.params,
-            jnp.asarray(batch),
-            jnp.asarray(mfcc_counts, jnp.int32),
-            jnp.asarray(spk_batch),
-            jnp.asarray(t_frames, jnp.int32),
-            jnp.asarray(starts),
-            jnp.asarray(win_valid),
+        mean, std, f0_mean, f0_std, embeds, r = jax.device_get(
+            core(encoder.params, stacked, jnp.asarray(lens16, jnp.int32))
         )
-        mean, std, cmnd, e0, embeds = jax.device_get((mean, std, cmnd, e0, embeds))
-
-        # -- 4. Host: YIN picking (vectorized), formants, assembly ----------
-        tau_min = max(int(feats.MFCC_SR / 2093.0), 1)
-        tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
-        t_all = cmnd.shape[1]
-        f0_flat, voiced_flat = feats.yin_pick(
-            cmnd.reshape(b * t_all, -1),
-            e0.reshape(b * t_all),
-            feats.MFCC_SR,
-            tau_min,
-            tau_max,
-            _YIN_FRAME,
-            0.1,
-            0.5,
-        )
-        f0_all = f0_flat.reshape(b, t_all)
-        voiced_all = voiced_flat.reshape(b, t_all)
 
         out = []
         for i in range(b):
-            k = int(yin_counts[i])
-            f0v = f0_all[i, :k][voiced_all[i, :k]]
-            f0_mean = float(np.mean(f0v)) if f0v.size else 0.0
-            f0_std = float(np.std(f0v)) if f0v.size else 0.0
-            from ...ops.features import estimate_formants
-
-            f1, f2 = estimate_formants(wavs16[i])
+            # LPC roots on host (tiny): same math as estimate_formants
+            a = _levinson(np.asarray(r[i], np.float64), _LPC_ORDER)
+            roots = np.roots(a)
+            roots = roots[roots.imag > 0]
+            freqs = np.sort(np.angle(roots) * (feats.MFCC_SR / (2 * np.pi)))
+            freqs = freqs[(freqs > 90) & (freqs < feats.MFCC_SR / 4)]
+            f1 = float(freqs[0]) if len(freqs) > 0 else 0.0
+            f2 = float(freqs[1]) if len(freqs) > 1 else 0.0
             out.append(
                 np.concatenate(
-                    [embeds[i], mean[i], std[i], [f0_mean, f0_std, f1, f2]]
-                )
+                    [
+                        embeds[i],
+                        mean[i],
+                        std[i],
+                        [float(f0_mean[i]), float(f0_std[i]), f1, f2],
+                    ]
+                ).astype(np.float64)
             )
         return out
     except Exception as e:  # noqa: BLE001 — fall back to the serial path
         logger.warning("Batched feature extraction failed (%s); serial fallback", e)
         return [extract_features(a, sample_rate=sample_rate) for a in audios]
+
 
 
 def train(

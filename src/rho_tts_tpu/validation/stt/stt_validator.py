@@ -189,7 +189,9 @@ def validate_audio_text_match_batch(
                 from ...audio_io import load_wav
 
                 wav, sr = load_wav(a)
-            wavs.append(np.asarray(wav, np.float32) if not isinstance(wav, np.ndarray) else wav)
+            # Device arrays pass through untouched — np.asarray here would
+            # fetch the whole waveform to host (seconds over a relay link).
+            wavs.append(wav if hasattr(wav, "shape") else np.asarray(wav, np.float32))
             srs.append(sr)
         transcriptions = model.transcribe_batch(wavs, srs)
     except Exception as e:  # noqa: BLE001

@@ -59,3 +59,82 @@ def test_quantized_forward_close_to_dense():
     d, q = np.asarray(dense), np.asarray(quant)
     rel = np.abs(d - q).max() / (np.abs(d).max() + 1e-6)
     assert rel < 0.05  # int8 weight noise stays small through 2 layers
+
+
+# ---------------------------------------------------------------------------
+# int4 packed-nibble mode
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_unpack_roundtrip():
+    from rho_tts_tpu.ops.pallas.int4_matmul import BITS_MAX, _unpack_nibbles, pack_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32) * 0.1
+    packed = pack_int4(w)
+    assert packed["q4"].shape == (32, 32) and packed["q4"].dtype == jnp.int8
+    vals = np.asarray(_unpack_nibbles(packed["q4"]))
+    assert vals.min() >= -BITS_MAX and vals.max() <= BITS_MAX
+    deq = vals * np.asarray(packed["s"])[None, :]
+    err = np.abs(deq - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.08  # 4-bit symmetric: step = absmax/7
+
+
+def test_int4_matmul_matches_reference_dequant():
+    from rho_tts_tpu.ops.pallas.int4_matmul import (
+        dequant_matmul_reference,
+        int4_matmul,
+        pack_int4,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 128), jnp.float32) * 0.3
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 64), jnp.float32) * 0.1
+    p = pack_int4(w)
+    out = np.asarray(int4_matmul(x, p["q4"], p["s"]))
+    ref = np.asarray(dequant_matmul_reference(x, p["q4"], p["s"]))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # And it approximates the dense product
+    dense = np.asarray(x @ w)
+    rel = np.abs(out - dense).max() / np.abs(dense).max()
+    assert rel < 0.15
+
+
+def test_int4_stack_quarter_weight_bytes():
+    cfg = tfm.TransformerConfig(
+        hidden=64, layers=2, q_heads=4, kv_heads=2, head_dim=16, ffn=128, dtype=jnp.bfloat16
+    )
+    params = tfm.init_stack(jax.random.PRNGKey(0), cfg)
+    before = quantized_bytes(params)
+    qparams = quantize_stack(params, "int4")
+    after = quantized_bytes(qparams)
+    assert after < before * 0.45  # ~quarter of bf16 + f32 scales
+    for name in QUANT_KEYS:
+        assert qparams["blocks"][name]["q4"].dtype == jnp.int8
+
+
+def test_int4_forward_close_to_dense():
+    cfg = tfm.TransformerConfig(
+        hidden=64, layers=2, q_heads=4, kv_heads=2, head_dim=16, ffn=128, dtype=jnp.float32
+    )
+    params = tfm.init_stack(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_stack(params, "int4")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 64), jnp.float32) * 0.3
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    dense, _ = tfm.stack_forward(params, cfg, x, pos)
+    quant, _ = tfm.stack_forward(qparams, cfg, x, pos)
+    d, q = np.asarray(dense), np.asarray(quant)
+    # int4 on gaussian random weights carries ~12% per-weight error that
+    # compounds through residual layers; require the output to TRACK the
+    # dense forward (high correlation), not match elementwise. (The exact
+    # kernel-vs-dequant parity is asserted separately above.)
+    corr = np.corrcoef(d.ravel(), q.ravel())[0, 1]
+    assert corr > 0.9
+    assert np.isfinite(q).all()
+
+
+def test_int4_model_decode_runs():
+    from rho_tts_tpu.models.qwen import QwenTTSModel
+
+    model = QwenTTSModel.from_pretrained("tiny", quantization="int4")
+    waves, sr = model.synthesize(["int four nibble weights"], speaker="Vivian", min_frames=8)
+    assert waves[0].shape[-1] > 0
+    assert np.isfinite(np.asarray(waves[0])).all()

@@ -122,6 +122,6 @@ def test_int8_quantized_generation(tmp_path):
 
 def test_invalid_quantization_rejected():
     tts = QwenTTS(device="cpu", model_path="tiny-CustomVoice", speaker="Aria",
-                  quantization="int4")
+                  quantization="fp3")
     with pytest.raises(ValueError, match="quantization"):
         tts._load_model()
