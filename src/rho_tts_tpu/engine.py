@@ -145,6 +145,10 @@ class BaseTTS(ABC):
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
+        pool = getattr(self, "_stt_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._stt_pool = None
         self.close()
         return False
 

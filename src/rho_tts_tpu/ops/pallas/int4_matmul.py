@@ -26,7 +26,13 @@ BITS_MAX = 7  # symmetric int4: values in [-7, 7]
 
 def pack_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Per-output-channel symmetric int4: w (…, K, N) → {"q4": (…, K//2, N)
-    int8, "s": (…, N) f32}. K must be even."""
+    int8, "s": (…, N) f32}. K must be even.
+
+    Packing is HALF-SPLIT, not interleaved: byte i holds original row i in
+    the low nibble and row i + K/2 in the high nibble. The kernel then
+    never has to interleave sublanes (a slow relayout on TPU) — it just
+    runs two matmuls against the two x halves.
+    """
     wf = jnp.asarray(w, jnp.float32)
     k = wf.shape[-2]
     if k % 2:
@@ -34,20 +40,20 @@ def pack_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (…, 1, N)
     scale = jnp.maximum(absmax, 1e-8) / BITS_MAX
     q = jnp.clip(jnp.round(wf / scale), -BITS_MAX, BITS_MAX).astype(jnp.int32)
-    lo = q[..., 0::2, :] & 0xF  # (…, K//2, N)
-    hi = q[..., 1::2, :] & 0xF
+    lo = q[..., : k // 2, :] & 0xF  # (…, K//2, N)
+    hi = q[..., k // 2 :, :] & 0xF
     b = (hi << 4) | lo  # 0..255
     packed = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
     return {"q4": packed, "s": scale.squeeze(-2).astype(jnp.float32)}
 
 
 def _unpack_nibbles(w8: jnp.ndarray) -> jnp.ndarray:
-    """(…, K//2, N) int8 → (…, K, N) float32 of the signed nibble values."""
+    """(…, K//2, N) int8 → (…, K, N) float32 of the signed nibble values
+    (half-split layout: rows [0, K/2) from low nibbles, [K/2, K) high)."""
     w32 = w8.astype(jnp.int32)
     lo = (w32 << 28) >> 28  # sign-extended low nibble
     hi = w32 >> 4  # arithmetic shift: sign-extended high nibble
-    inter = jnp.stack([lo, hi], axis=-2)  # (…, K//2, 2, N)
-    return inter.reshape(*w8.shape[:-2], 2 * w8.shape[-2], w8.shape[-1]).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
 
 
 def dequant_matmul_reference(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -57,20 +63,21 @@ def dequant_matmul_reference(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) ->
     return (y.astype(jnp.float32) * s).astype(x.dtype)
 
 
-def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref):
+def _kernel(xa_ref, xb_ref, q_ref, s_ref, o_ref, acc_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w32 = q_ref[:].astype(jnp.int32)  # (Kb//2, Nb)
-    lo = (w32 << 28) >> 28
-    hi = w32 >> 4
-    kh = w32.shape[0]
-    w = jnp.stack([lo, hi], axis=1).reshape(2 * kh, w32.shape[1]).astype(jnp.bfloat16)
+    w32 = q_ref[:].astype(jnp.int32)  # (Kb, Nb) packed bytes
+    lo = ((w32 << 28) >> 28).astype(jnp.bfloat16)  # rows [0, K/2)
+    hi = (w32 >> 4).astype(jnp.bfloat16)  # rows [K/2, K)
     acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        xa_ref[:].astype(jnp.bfloat16), lo, preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jnp.dot(
+        xb_ref[:].astype(jnp.bfloat16), hi, preferred_element_type=jnp.float32
     )
 
     @pl.when(k == pl.num_programs(1) - 1)
@@ -95,25 +102,27 @@ def _kernel_available() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _int4_matmul_call(x, q4, s):
     b, k = x.shape
-    kh, n = q4.shape
-    kb = min(512, k)  # contraction block (even, ≥ int8 sublane tile ×2)
+    kh, n = q4.shape  # kh = K // 2 packed rows
+    kb = min(256, kh)  # packed contraction block
     nb = min(512, n)
-    grid = (n // nb, k // kb)
+    grid = (n // nb, kh // kb)
+    xa, xb = x[:, : k // 2], x[:, k // 2 :]
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, kb), lambda j, kk: (0, kk)),
-            pl.BlockSpec((kb // 2, nb), lambda j, kk: (kk, j)),
+            pl.BlockSpec((b, kb), lambda j, kk: (0, kk)),
+            pl.BlockSpec((kb, nb), lambda j, kk: (kk, j)),
             pl.BlockSpec((1, nb), lambda j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((b, nb), lambda j, kk: (0, j)),
         out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((b, nb), jnp.float32)],
-    )(x, q4, s.reshape(1, -1))
+    )(xa, xb, q4, s.reshape(1, -1))
 
 
 def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -124,11 +133,11 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
-    n = q4.shape[1]
+    kh, n = q4.shape
     x2 = x.reshape(-1, k)
-    kb = min(512, k)
+    kb = min(256, kh)
     nb = min(512, n)
-    if _kernel_available() and k % kb == 0 and n % nb == 0 and kb % 64 == 0:
+    if _kernel_available() and kh % kb == 0 and n % nb == 0 and kb % 32 == 0:
         y = _int4_matmul_call(x2, q4, s)
     else:
         y = dequant_matmul_reference(x2, q4, s)
