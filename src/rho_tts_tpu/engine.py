@@ -705,6 +705,55 @@ class BaseTTS(ABC):
 
     # -- Item finalization (join + post-process + decay check) -----------------
 
+    def _finalize_items(self, items: List[List]):
+        """Finalize several items' segment lists with ONE packed meta fetch.
+
+        Dispatches every item's fused finalize program, then pulls all
+        (length, decay_ratio) pairs in a single host transfer — each
+        separate fetch costs a full relay round-trip. Falls back to the
+        per-item path when the fused mode is unavailable.
+        """
+        fused_mode = self._fused_finalize_mode()
+        if fused_mode is None or len(items) <= 1:
+            return [self._finalize_item(segs) for segs in items]
+
+        import jax
+
+        custom_decay = (
+            "_validate_sound_decay" in self.__dict__
+            or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
+        )
+        with profiling.stage("dsp/finalize_fused"):
+            staged = []
+            for segs in items:
+                staged.append(
+                    dsp.finalize_segments(
+                        segs,
+                        self.sample_rate,
+                        crossfade_duration_sec=self.crossfade_duration_sec,
+                        inter_sentence_pause_sec=self.inter_sentence_pause_sec,
+                        trim=self.trim_silence,
+                        silence_threshold_db=self.silence_threshold_db,
+                        fade_duration_sec=self.fade_duration_sec,
+                        loudness=(fused_mode == "loudness"),
+                        defer_fetch=True,
+                    )
+                )
+            metas = jax.device_get([m for _, m in staged])
+        out = []
+        for (buf, _), meta in zip(staged, metas):
+            if buf is None:
+                out.append((None, 0.0, True))
+                continue
+            audio = buf[: int(meta[0])]
+            ratio = float(meta[1])
+            if custom_decay:
+                ratio, is_ok = self._validate_sound_decay(audio)
+            else:
+                is_ok = ratio >= self.sound_decay_threshold
+            out.append((audio, ratio, is_ok))
+        return out
+
     def _finalize_item(self, audio_segments: List):
         """Join segments, post-process, and compute the decay verdict.
 
@@ -805,6 +854,7 @@ class BaseTTS(ABC):
 
             pos = 0
             next_active = []
+            staged = []  # (item, segs_audio)
             for i, k in spans:
                 segs_audio = [a for a in audios[pos : pos + k] if a is not None]
                 drifts = [d for d in pos_drift[pos : pos + k] if d != float("inf")]
@@ -818,13 +868,17 @@ class BaseTTS(ABC):
                 if not segs_audio:
                     final_audio[i] = None
                     continue
-
-                audio, ratio, decay_ok = self._finalize_item(segs_audio)
-                final_audio[i] = audio
-                decay_ratio[i] = ratio
                 item_drift[i] = drifts
                 item_sim[i] = sims
                 seg_counts[i] = len(segs_audio)
+                staged.append((i, segs_audio))
+
+            for i, (audio, ratio, decay_ok) in zip(
+                (i for i, _ in staged),
+                self._finalize_items([s for _, s in staged]),
+            ):
+                final_audio[i] = audio
+                decay_ratio[i] = ratio
                 if audio is None:
                     continue
                 logger.info(

@@ -611,16 +611,22 @@ def finalize_segment(
     target_rms_db: float = -23.0,
     loudness_window_sec: float = 2.0,
     max_gain_db: float = 18.0,
+    defer_fetch: bool = False,
 ):
     """Single-segment finalize chain in one fused program.
 
     Equivalent to ``smooth_segment_join([audio])`` (+ optional
     ``loudness_postprocess``) followed by ``sound_decay_ratio``, but with a
-    single dispatch. Returns (waveform, decay_ratio).
+    single dispatch. Returns (waveform, decay_ratio); with
+    ``defer_fetch=True`` returns device-resident (padded_out, meta) where
+    meta = [valid_length, decay_ratio] — callers batching many items fetch
+    all metas in ONE transfer.
     """
     a = _as_f32_1d(audio)
     n = int(a.shape[-1])
     if n == 0:
+        if defer_fetch:
+            return a, jnp.asarray([0.0, 1.0], jnp.float32)
         return a, 1.0
     window = int(sample_rate * 0.01)
     stride = max(window // 2, 1)
@@ -648,6 +654,8 @@ def finalize_segment(
         float(target_rms_db),
         float(max_gain_db),
     )
+    if defer_fetch:
+        return out, jnp.stack([new_len.astype(jnp.float32), ratio])
     # One packed host fetch for both scalars (each fetch is a full relay
     # round-trip on tunneled backends).
     meta = np.asarray(jnp.stack([new_len.astype(jnp.float32), ratio]))
@@ -781,12 +789,15 @@ def finalize_segments(
     target_rms_db: float = -23.0,
     loudness_window_sec: float = 2.0,
     max_gain_db: float = 18.0,
+    defer_fetch: bool = False,
 ):
     """Fused finalize for ANY segment count: equivalent to
     ``smooth_segment_join(segments)`` (+ optional ``loudness_postprocess``)
     followed by ``sound_decay_ratio``, in one device program.
 
-    Returns (waveform, decay_ratio); (None, 1.0) for an empty list.
+    Returns (waveform, decay_ratio); (None, 1.0) for an empty list. With
+    ``defer_fetch=True`` returns device-resident (padded_out, meta) —
+    see :func:`finalize_segment`.
     """
     if len(segments) == 0:
         return None, 1.0
@@ -796,7 +807,7 @@ def finalize_segments(
             silence_threshold_db=silence_threshold_db,
             fade_duration_sec=fade_duration_sec, loudness=loudness,
             target_rms_db=target_rms_db, loudness_window_sec=loudness_window_sec,
-            max_gain_db=max_gain_db,
+            max_gain_db=max_gain_db, defer_fetch=defer_fetch,
         )
 
     arrs = [_as_f32_1d(s) for s in segments]
@@ -838,5 +849,7 @@ def finalize_segments(
         float(target_rms_db),
         float(max_gain_db),
     )
+    if defer_fetch:
+        return out, jnp.stack([total_len.astype(jnp.float32), ratio])
     meta = np.asarray(jnp.stack([total_len.astype(jnp.float32), ratio]))
     return out[: int(meta[0])], float(meta[1])
