@@ -154,7 +154,7 @@ def _prefill(
         attn_mask=attn_mask, key_valid=key_valid, fused_prefill=True,
     )
     key_valid = key_valid.at[:, :p].set(attn_mask)
-    logits = h[:, -1].astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+    logits = jax.lax.dot(h[:, -1], params["lm_head"], preferred_element_type=jnp.float32)
     return logits, ck, cv, key_valid
 
 
@@ -194,7 +194,7 @@ def _decode_chunk(
             attn_mask=None, key_valid=key_valid,
         )
         key_valid = key_valid.at[:, slot].set(True)
-        logits = h[:, -1].astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+        logits = jax.lax.dot(h[:, -1], params["lm_head"], preferred_element_type=jnp.float32)
         rng, k = jax.random.split(rng)
         tok = _cfg_sample(logits, k, temperature, top_k, cfg_weight)
         newly_done = tok == cfg.speech_eos

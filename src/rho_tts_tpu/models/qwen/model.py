@@ -188,7 +188,9 @@ def _decode_chunk(
         )
         key_valid = key_valid.at[:, slot].set(True)
         h_last = h[:, -1]
-        logits = h_last.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)
+        # bf16 matmul with fp32 accumulation: converting the whole head to
+        # fp32 inside the decode scan materializes it every step.
+        logits = jax.lax.dot(h_last, params["lm_head"], preferred_element_type=jnp.float32)
 
         rng, k = jax.random.split(rng)
         # Enforce a minimum duration: EOS is masked below min_frames

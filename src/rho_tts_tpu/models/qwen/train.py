@@ -120,3 +120,45 @@ def train_step(
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (orbax)
+#
+# The reference has no accelerator-side training and therefore no training
+# checkpoints; this completes the voice-adaptation loop with durable
+# save/resume. Sharded params round-trip: orbax records each leaf's
+# sharding, so a restore under the same mesh context comes back sharded.
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, params: Params, opt_state, step: int) -> None:
+    """Durably save {params, opt_state, step} to ``path`` (a directory)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(os.path.expanduser(path)),
+            {"params": params, "opt_state": opt_state, "step": step},
+            force=True,
+        )
+
+
+def restore_train_state(path: str, cfg: QwenTTSConfig, optimizer=None):
+    """Restore (params, opt_state, step) saved by :func:`save_train_state`.
+
+    The target structure (shapes/dtypes) is rebuilt from ``cfg`` so the
+    checkpoint can be loaded into a fresh process.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    params0, opt_state0 = init_train_state(cfg, optimizer=optimizer)
+    target = {"params": params0, "opt_state": opt_state0, "step": 0}
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(os.path.expanduser(path)), abstract)
+    return state["params"], state["opt_state"], int(state["step"])
