@@ -139,16 +139,32 @@ class BaseTTS(ABC):
     # -- Context manager protocol -------------------------------------------
 
     def close(self) -> None:
-        """Release resources (model weights, device buffers). Override."""
+        """Release resources (model weights, device buffers).
+
+        Subclass overrides should call ``super().close()`` so shared
+        resources (the speculative-STT worker pool) are released too.
+        """
+        self._shutdown_validation_pool()
+
+    def _shutdown_validation_pool(self) -> None:
+        pool = getattr(self, "_stt_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+            self._stt_pool = None
+
+    def _has_custom_decay_validator(self) -> bool:
+        """True when a subclass/mocked _validate_sound_decay must get the
+        final say (the fused finalize computes the stock ratio on device)."""
+        return (
+            "_validate_sound_decay" in self.__dict__
+            or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
+        )
 
     def __enter__(self):
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
-        pool = getattr(self, "_stt_pool", None)
-        if pool is not None:
-            pool.shutdown(wait=False)
-            self._stt_pool = None
+        self._shutdown_validation_pool()
         self.close()
         return False
 
@@ -610,12 +626,16 @@ class BaseTTS(ABC):
                     )
                     self._stt_pool = pool
 
-                def _run_stt(idx=tuple(gen_idx)):
+                # Snapshot the audio/text lists at submit time — the
+                # worker must not read `outs`, which is rebound next
+                # iteration.
+                def _run_stt(
+                    auds=[outs[i] for i in gen_idx],
+                    txts=[segments[i] for i in gen_idx],
+                ):
                     with profiling.stage("validate/stt"):
                         return self._validate_text_match_batch(
-                            [outs[i] for i in idx],
-                            self.sample_rate,
-                            [segments[i] for i in idx],
+                            auds, self.sample_rate, txts
                         )
 
                 stt_future = pool.submit(_run_stt)
@@ -661,6 +681,11 @@ class BaseTTS(ABC):
 
             # Phase 2: collect the speculative STT results for the
             # drift-passing segments.
+            if stt_future is not None and not voice_ok_idx:
+                # Every segment failed drift — the speculative result is
+                # unusable; cancel if still queued so it can't delay the
+                # next iteration's transcription.
+                stt_future.cancel()
             if voice_ok_idx and stt_future is not None:
                 try:
                     stt_map = dict(zip(gen_idx, stt_future.result()))
@@ -719,10 +744,7 @@ class BaseTTS(ABC):
 
         import jax
 
-        custom_decay = (
-            "_validate_sound_decay" in self.__dict__
-            or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
-        )
+        custom_decay = self._has_custom_decay_validator()
         with profiling.stage("dsp/finalize_fused"):
             staged = []
             for segs in items:
@@ -776,10 +798,7 @@ class BaseTTS(ABC):
                 )
             if final_audio is None:
                 return None, 0.0, True
-            custom_decay = (
-                "_validate_sound_decay" in self.__dict__
-                or type(self)._validate_sound_decay is not BaseTTS._validate_sound_decay
-            )
+            custom_decay = self._has_custom_decay_validator()
             if custom_decay:
                 decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
             else:
@@ -1139,11 +1158,7 @@ class BaseTTS(ABC):
                     if final_audio is None:
                         break
                     # Custom/mocked decay validators still get the final say
-                    custom_decay = (
-                        "_validate_sound_decay" in self.__dict__
-                        or type(self)._validate_sound_decay
-                        is not BaseTTS._validate_sound_decay
-                    )
+                    custom_decay = self._has_custom_decay_validator()
                     if custom_decay:
                         decay_ratio, is_decay_ok = self._validate_sound_decay(final_audio)
                     else:

@@ -143,10 +143,13 @@ def _prefill(
     emb = params["text_embed"][ids_slotted]  # (2, P, H)
     spk_e = (spk.astype(jnp.float32) @ params["spk_proj"].astype(jnp.float32)).astype(dt)
     bos_e = params["speech_embed"][cfg.speech_bos].astype(dt)
+    # Masks arrive as f32 from the host — cast to the embedding dtype first
+    # so the whole prefill stays bf16 (an f32 product here would silently
+    # upcast every layer's activations).
     embeds = (
-        emb * text_mask[..., None]
-        + bos_e[None, None] * bos_mask[..., None]
-        + spk_e[None, None] * spk_mask[..., None]
+        emb * text_mask[..., None].astype(dt)
+        + bos_e[None, None] * bos_mask[..., None].astype(dt)
+        + spk_e[None, None] * spk_mask[..., None].astype(dt)
     )
     h, (ck, cv) = tfm.stack_forward(
         params["talker"], cfg.talker, embeds, rope_pos,

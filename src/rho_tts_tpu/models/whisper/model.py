@@ -395,19 +395,15 @@ class WhisperTranscriber:
                     w = jnp.asarray(wavs[i], jnp.float32).reshape(-1)[:n16]
                     prepped[i] = jnp.pad(w, (0, n16 - w.shape[0]))
                 continue
-            from ...ops.resample import _resample_core, _sinc_kernel
+            from ...ops.resample import resample_batch
 
             g = math.gcd(sr, SAMPLE_RATE)
-            of, nf = sr // g, SAMPLE_RATE // g
-            kernel, width = _sinc_kernel(of, nf)
-            n_src = n16 * of // nf  # source samples for a full window
+            n_src = n16 * (sr // g) // (SAMPLE_RATE // g)  # full-window source samples
             stacked = []
             for i in idxs:
                 w = jnp.asarray(wavs[i], jnp.float32).reshape(-1)[:n_src]
                 stacked.append(jnp.pad(w, (0, n_src - w.shape[0])))
-            res = jax.vmap(
-                lambda x: _resample_core(x, kernel, width, of, nf, n16)
-            )(jnp.stack(stacked))
+            res = resample_batch(jnp.stack(stacked), sr, SAMPLE_RATE, n16)
             for j, i in enumerate(idxs):
                 prepped[i] = res[j]
         toks_batch = self.model.transcribe_tokens_batch(prepped)

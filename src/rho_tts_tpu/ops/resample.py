@@ -70,3 +70,28 @@ def resample(audio, orig_freq: int, new_freq: int):
     kernel, width = _sinc_kernel(of, nf)
     target_length = math.ceil(nf * a.shape[-1] / of)
     return _resample_core(a, kernel, width, of, nf, target_length)
+
+
+def resample_batch(wavs, orig_freq: int, new_freq: int, target_length: int):
+    """Resample a (B, L) batch to ``target_length`` samples per row.
+
+    One vmapped polyphase-sinc program for the whole batch; trace-safe
+    (usable inside an enclosing ``jit``). Shared by the STT and
+    drift-feature batch paths.
+    """
+    orig_freq, new_freq = int(orig_freq), int(new_freq)
+    if orig_freq == new_freq:
+        cur = wavs.shape[-1]
+        if cur == target_length:
+            return jnp.asarray(wavs, jnp.float32)
+        if cur > target_length:
+            return jnp.asarray(wavs, jnp.float32)[..., :target_length]
+        return jnp.pad(jnp.asarray(wavs, jnp.float32), ((0, 0), (0, target_length - cur)))
+    g = math.gcd(orig_freq, new_freq)
+    of, nf = orig_freq // g, new_freq // g
+    kernel, width = _sinc_kernel(of, nf)
+    import jax
+
+    return jax.vmap(
+        lambda x: _resample_core(jnp.asarray(x, jnp.float32), kernel, width, of, nf, target_length)
+    )(wavs)

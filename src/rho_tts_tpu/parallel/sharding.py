@@ -62,9 +62,12 @@ def qwen_param_specs(params: Params) -> Params:
     blocks = params["talker"]["blocks"]
     bspecs = specs["talker"]["blocks"]
     for name, leaf in blocks.items():
-        if isinstance(leaf, dict) and "q" in leaf and "s" in leaf:
+        if isinstance(leaf, dict) and "s" in leaf and ("q" in leaf or "q4" in leaf):
             dense = tuple(bspecs[name])
-            bspecs[name] = {"q": P(*dense), "s": P(*(dense[:-2] + dense[-1:]))}
+            qkey = "q" if "q" in leaf else "q4"  # int4 packs K/2 rows; the
+            # contraction-axis spec still applies (packing halves rows, it
+            # does not change which axis is sharded).
+            bspecs[name] = {qkey: P(*dense), "s": P(*(dense[:-2] + dense[-1:]))}
     return specs
 
 

@@ -140,6 +140,7 @@ class ChatterboxTTS(BaseTTS):
 
     def close(self) -> None:
         """Release model parameters and conditionals cache."""
+        super().close()
         self.model = None
         self._prompt_cache.clear()
         self._free_device_memory()

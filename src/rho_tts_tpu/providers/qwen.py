@@ -245,6 +245,7 @@ class QwenTTS(BaseTTS):
 
     def close(self) -> None:
         """Release model parameters (device HBM)."""
+        super().close()
         self._model = None
         self._free_device_memory()
 

@@ -277,18 +277,12 @@ def _get_core(nwb: int, of: int, nf: int):
         def core(spk_params, raw, lens16):
             return _drift_device_core(spk_params, raw, lens16, nwb)
     else:
-        from ...ops.resample import _resample_core, _sinc_kernel
-
-        kernel, width = _sinc_kernel(of, nf)
+        from ...ops.resample import resample_batch
 
         def core(spk_params, raw, lens16):
-            import math
-
             lraw = raw.shape[-1]
             tgt = -(-nf * lraw // of)
-            wav16 = jax.vmap(
-                lambda x: _resample_core(x, kernel, width, of, nf, tgt)
-            )(raw)
+            wav16 = resample_batch(raw, of, nf, tgt)
             l16 = _bucket(int(tgt) + _MFCC_NFFT)
             wav16 = jnp.pad(wav16, ((0, 0), (0, l16 - tgt)))
             return _drift_device_core(spk_params, wav16, lens16, nwb)
