@@ -99,14 +99,42 @@ def init_params(key, cfg: QwenTTSConfig) -> Params:
 def _prefill(
     params: Params,
     cfg: QwenTTSConfig,
-    embeds: jnp.ndarray,  # (B, P, H) left-padded prompt embeddings
+    ids_slotted: jnp.ndarray,  # (B, P) text/ref-text token ids, left-padded
+    text_mask: jnp.ndarray,  # (B, P) f32: slots holding text tokens
+    codes_slotted: jnp.ndarray,  # (B, P, nq) reference codec codes
+    code_mask: jnp.ndarray,  # (B, P) f32
+    spk_ids: jnp.ndarray,  # (B,) speaker-table rows
+    spk_mask: jnp.ndarray,  # (B, P) f32: the speaker-prefix slot
     rope_pos: jnp.ndarray,  # (B, P)
     attn_mask: jnp.ndarray,  # (B, P) True on real tokens
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
     key_valid: jnp.ndarray,  # (B, S)
 ):
-    b, p, _ = embeds.shape
+    """Prompt-embedding assembly + prefill in ONE program.
+
+    The prompt layout ([spk?][ref text][text][ref codes][BOS], left-padded)
+    is described by host-built index/mask arrays; assembling the embeddings
+    on device replaces a chain of eager gather dispatches per call. The
+    BOS slot is the last one, marked by code_mask∧text_mask both zero with
+    attn_mask set — encoded here via an explicit bos term derived from
+    attn_mask minus the other masks.
+    """
+    b, p = ids_slotted.shape
+    dt = params["text_embed"].dtype
+    # Masks arrive as f32 — cast to the embedding dtype so the prefill
+    # stays bf16 (f32 products would upcast every layer's activations).
+    emb = params["text_embed"][ids_slotted] * text_mask[..., None].astype(dt)
+    for q in range(cfg.codec.n_codebooks):
+        emb = emb + params["audio_embed"][q][codes_slotted[..., q]] * code_mask[
+            ..., None
+        ].astype(dt)
+    emb = emb + params["speaker_embed"][spk_ids][:, None, :] * spk_mask[..., None].astype(dt)
+    bos_mask = attn_mask.astype(jnp.float32) - text_mask - code_mask - spk_mask
+    emb = emb + params["audio_embed"][0][cfg.audio_bos][None, None] * bos_mask[
+        ..., None
+    ].astype(dt)
+    embeds = emb
     h, (ck, cv) = tfm.stack_forward(
         params["talker"],
         cfg.talker,
@@ -369,48 +397,79 @@ class QwenTTSModel:
 
     # -- Prompt building ----------------------------------------------------
 
-    def _build_prompt_rows(
+    def _build_prompt_arrays(
         self,
         texts: Sequence[str],
         speaker: Optional[str],
         language: str,
         ref_audio: Optional[str],
         ref_text: Optional[str],
-    ) -> List[np.ndarray]:
-        """Per-row prompt embeddings (host-assembled lookups, then stacked)."""
+    ):
+        """Host-built index/mask arrays describing each prompt row.
+
+        Layout per row: [spk?][ref text][text][ref codes][BOS], left-padded
+        to the prompt bucket. The embedding lookups themselves happen
+        inside the prefill program (one device dispatch, not one per
+        piece). Returns (arrays dict of np arrays, lens list, p).
+        """
         cfg = self.config
-        params = self.params
-        text_embed = params["text_embed"]
-        audio_embed = params["audio_embed"]
-        rows = []
+        nq = cfg.codec.n_codebooks
 
         ref_codes = None
         ref_ids: List[int] = []
         if ref_audio is not None:
-            ref_codes = self._reference_codes(ref_audio)
+            ref_codes = np.asarray(self._reference_codes(ref_audio), np.int32)
             ref_ids = self.tokenizer.encode(ref_text or "")
+        nr = int(ref_codes.shape[0]) if ref_codes is not None else 0
 
-        for text in texts:
-            ids = self.tokenizer.encode(f"{language}: {text}" if language else text)
-            pieces = []
-            if speaker is not None:
-                spk_id = SPEAKERS.index(speaker) if speaker in SPEAKERS else (
-                    abs(hash(speaker)) % cfg.n_speakers
-                )
-                pieces.append(params["speaker_embed"][spk_id][None])
-            if ref_ids:
-                pieces.append(text_embed[np.asarray(ref_ids, np.int32)])
-            pieces.append(text_embed[np.asarray(ids, np.int32)])
-            if ref_codes is not None:
-                emb = None
-                for q in range(cfg.codec.n_codebooks):
-                    e = audio_embed[q][np.asarray(ref_codes[:, q], np.int32)]
-                    emb = e if emb is None else emb + e
-                pieces.append(emb)
-            # Audio BOS closes the prompt
-            pieces.append(audio_embed[0][cfg.audio_bos][None])
-            rows.append(jnp.concatenate(pieces, axis=0))
-        return rows
+        has_spk = speaker is not None
+        spk_id = 0
+        if has_spk:
+            spk_id = SPEAKERS.index(speaker) if speaker in SPEAKERS else (
+                abs(hash(speaker)) % cfg.n_speakers
+            )
+
+        rows_ids = [
+            self.tokenizer.encode(f"{language}: {t}" if language else t)
+            for t in texts
+        ]
+        lens = [int(has_spk) + len(ref_ids) + len(ids) + nr + 1 for ids in rows_ids]
+        p = _round_up(max(lens), PROMPT_BUCKET)
+        b = len(texts)
+
+        ids_slotted = np.zeros((b, p), np.int32)
+        text_mask = np.zeros((b, p), np.float32)
+        codes_slotted = np.zeros((b, p, nq), np.int32)
+        code_mask = np.zeros((b, p), np.float32)
+        spk_mask = np.zeros((b, p), np.float32)
+        for i, ids in enumerate(rows_ids):
+            pos = p - lens[i]
+            if has_spk:
+                spk_mask[i, pos] = 1.0
+                pos += 1
+            toks = list(ref_ids) + list(ids)
+            ids_slotted[i, pos : pos + len(toks)] = toks
+            text_mask[i, pos : pos + len(toks)] = 1.0
+            pos += len(toks)
+            if nr:
+                codes_slotted[i, pos : pos + nr] = ref_codes
+                code_mask[i, pos : pos + nr] = 1.0
+            # BOS occupies slot p-1 — encoded in the prefill program as
+            # attn_mask minus the other masks.
+
+        arrays = {
+            "ids_slotted": ids_slotted,
+            "text_mask": text_mask,
+            "codes_slotted": codes_slotted,
+            "code_mask": code_mask,
+            "spk_ids": np.full((b,), spk_id, np.int32),
+            "spk_mask": spk_mask,
+            "rope_pos": np.stack(
+                [np.maximum(np.arange(p) - (p - n), 0) for n in lens]
+            ).astype(np.int32),
+            "attn_mask": np.stack([np.arange(p) >= (p - n) for n in lens]),
+        }
+        return arrays, lens, p
 
     # -- Generation ----------------------------------------------------------
 
@@ -440,23 +499,22 @@ class QwenTTSModel:
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        rows = self._build_prompt_rows(texts, speaker, language, ref_audio, ref_text)
+        arrays, lens, p = self._build_prompt_arrays(
+            texts, speaker, language, ref_audio, ref_text
+        )
         # Mesh serving: pad the batch to a multiple of the data axis
-        n_real = len(rows)
-        for _ in range(self._dp_pad(n_real)):
-            rows.append(rows[0])
-        b = len(rows)
-        lens = [int(r.shape[0]) for r in rows]
-        p = _round_up(max(lens), PROMPT_BUCKET)
-        hidden = rows[0].shape[-1]
-
-        embeds = self._shard(jnp.stack(
-            [jnp.pad(r, ((p - n, 0), (0, 0))) for r, n in zip(rows, lens)]
-        ))  # (B, P, H) left-padded
-        rope_pos = self._shard(jnp.stack(
-            [jnp.maximum(jnp.arange(p) - (p - n), 0) for n in lens]
-        ).astype(jnp.int32))
-        attn_mask = self._shard(jnp.stack([jnp.arange(p) >= (p - n) for n in lens]))
+        n_real = len(texts)
+        pad_rows = self._dp_pad(n_real)
+        if pad_rows:
+            arrays = {
+                k: np.concatenate([v, np.repeat(v[:1], pad_rows, axis=0)])
+                for k, v in arrays.items()
+            }
+            lens = lens + [lens[0]] * pad_rows
+        b = n_real + pad_rows
+        sharded = {k: self._shard(jnp.asarray(v)) for k, v in arrays.items()}
+        rope_pos = sharded["rope_pos"]
+        attn_mask = sharded["attn_mask"]
 
         if max_frames is None:
             max_chars = max(len(t) for t in texts)
@@ -470,7 +528,11 @@ class QwenTTSModel:
 
         with profiling.stage("qwen/prefill"):
             logits, cache_k, cache_v, key_valid = _prefill(
-                self.params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+                self.params, cfg,
+                sharded["ids_slotted"], sharded["text_mask"],
+                sharded["codes_slotted"], sharded["code_mask"],
+                sharded["spk_ids"], sharded["spk_mask"],
+                rope_pos, attn_mask, cache_k, cache_v, key_valid,
             )
 
         rng, k0 = jax.random.split(rng)

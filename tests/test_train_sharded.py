@@ -145,16 +145,18 @@ def test_tp_prefill_logits_match_unsharded():
     params = init_params(jax.random.PRNGKey(1), CFG)
     b, p, s = 2, 8, 32
     rng = jax.random.PRNGKey(2)
-    embeds = jax.random.normal(rng, (b, p, CFG.talker.hidden), jnp.float32).astype(
-        CFG.talker.dtype
-    )
+    ids = jax.random.randint(rng, (b, p), 0, CFG.text_vocab, jnp.int32)
+    text_mask = jnp.ones((b, p), jnp.float32).at[:, -1].set(0.0)  # last = BOS
+    codes = jnp.zeros((b, p, CFG.codec.n_codebooks), jnp.int32)
+    zero = jnp.zeros((b, p), jnp.float32)
     rope_pos = jnp.broadcast_to(jnp.arange(p), (b, p)).astype(jnp.int32)
     attn_mask = jnp.ones((b, p), bool)
 
     def run(pp):
         ck, cv = tfm.make_kv_cache(CFG.talker, b, s)
         logits, *_ = _prefill(
-            pp, CFG, embeds, rope_pos, attn_mask, ck, cv, jnp.zeros((b, s), bool)
+            pp, CFG, ids, text_mask, codes, zero, jnp.zeros((b,), jnp.int32), zero,
+            rope_pos, attn_mask, ck, cv, jnp.zeros((b, s), bool),
         )
         return np.asarray(logits)
 
