@@ -19,6 +19,8 @@ import time
 # Persistent XLA compilation cache: first run compiles, later runs load in
 # seconds (works through the remote-compile relay too).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# RHO_TTS_TPU_DECODE_CHUNK is honored (default 64): measured neutral at 128
+# on the relay host — the lagged early-exit already hides chunk boundaries.
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
 
@@ -322,24 +324,31 @@ def main():
     log(f"param init: {time.time() - t0:.1f}s (quant={quant})")
 
     s = prompt_len + n_chunks * CHUNK
-    embeds = jax.random.normal(
-        jax.random.PRNGKey(1), (batch, prompt_len, cfg.talker.hidden), jnp.float32
-    ).astype(cfg.talker.dtype) * 0.02
+    # Prompt arrays: random text tokens, no ref codes, BOS on the last slot
+    ids = jax.random.randint(
+        jax.random.PRNGKey(1), (batch, prompt_len), 0, cfg.text_vocab, jnp.int32
+    )
+    text_mask = jnp.ones((batch, prompt_len), jnp.float32).at[:, -1].set(0.0)
+    codes_sl = jnp.zeros((batch, prompt_len, cfg.codec.n_codebooks), jnp.int32)
+    zero_mask = jnp.zeros((batch, prompt_len), jnp.float32)
+    spk_ids = jnp.zeros((batch,), jnp.int32)
     rope_pos = jnp.broadcast_to(jnp.arange(prompt_len), (batch, prompt_len)).astype(jnp.int32)
     attn_mask = jnp.ones((batch, prompt_len), bool)
     cache_k, cache_v = tfm.make_kv_cache(cfg.talker, batch, s)
     key_valid = jnp.zeros((batch, s), bool)
 
+    prefill_args = (ids, text_mask, codes_sl, zero_mask, spk_ids, zero_mask,
+                    rope_pos, attn_mask)
     t0 = time.time()
     logits, cache_k, cache_v, key_valid = _prefill(
-        params, cfg, embeds, rope_pos, attn_mask, cache_k, cache_v, key_valid
+        params, cfg, *prefill_args, cache_k, cache_v, key_valid
     )
     sync(logits)
     prefill_compile = time.time() - t0
     log(f"prefill (compile+run): {prefill_compile:.1f}s")
     t0 = time.time()
     logits2, _ck, _cv, _kv = _prefill(
-        params, cfg, embeds, rope_pos, attn_mask,
+        params, cfg, *prefill_args,
         tfm.make_kv_cache(cfg.talker, batch, s)[0],
         tfm.make_kv_cache(cfg.talker, batch, s)[1],
         jnp.zeros((batch, s), bool),

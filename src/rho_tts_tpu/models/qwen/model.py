@@ -38,8 +38,13 @@ logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
-# Decode steps per compiled scan chunk (~5 s of audio at 12.5 Hz).
-CHUNK = 64
+# Decode steps per compiled scan chunk (~5 s of audio at 12.5 Hz at the
+# default). Larger chunks amortize per-chunk dispatch overhead on relay
+# backends at the cost of coarser cancellation/EOS granularity; serving
+# deployments set RHO_TTS_TPU_DECODE_CHUNK=128.
+import os as _os
+
+CHUNK = int(_os.environ.get("RHO_TTS_TPU_DECODE_CHUNK", "64"))
 # Prompt bucket granularity (slots).
 PROMPT_BUCKET = 64
 
