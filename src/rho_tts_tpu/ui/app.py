@@ -209,6 +209,39 @@ def _build_app(multi_user: bool = False):
             )
             v_del_btn.click(do_del_voice, [session, v_del_id], [voices_df, v_status])
 
+            with gr.Accordion("Edit voice", open=False):
+                ev_id = gr.Textbox(label="Voice id")
+                ev_load_btn = gr.Button("Load")
+                with gr.Row():
+                    ev_name = gr.Textbox(label="New name")
+                    ev_language = gr.Dropdown(
+                        label="Language",
+                        choices=["English", "Chinese", "Japanese", "Korean"],
+                    )
+                ev_ref_text = gr.Textbox(label="Reference transcript", lines=2)
+                ev_save_btn = gr.Button("Save changes", variant="primary")
+                ev_status = gr.Markdown("")
+
+            def do_load_voice(ctx, voice_id):
+                d = cb.voice_details(ctx.state, voice_id)
+                if not d:
+                    return gr.update(), gr.update(), gr.update(), "❌ Voice not found."
+                note = "ℹ️ Built-in voices are read-only." if d["is_builtin"] else ""
+                return d["name"], d["language"], d["reference_text"], note
+
+            def do_edit_voice(ctx, voice_id, name, language, ref_text):
+                msg = cb.edit_voice(ctx.state, voice_id, name, language, ref_text)
+                return voices_table(ctx), msg
+
+            ev_load_btn.click(
+                do_load_voice, [session, ev_id],
+                [ev_name, ev_language, ev_ref_text, ev_status],
+            )
+            ev_save_btn.click(
+                do_edit_voice, [session, ev_id, ev_name, ev_language, ev_ref_text],
+                [voices_df, ev_status],
+            )
+
         # ------------------------------------------------------------------
         # Tab 3: Models
         # ------------------------------------------------------------------
@@ -256,6 +289,89 @@ def _build_app(multi_user: bool = False):
             )
             m_del_btn.click(do_del_model, [session, m_del_id], [models_df, m_status])
             m_dl_btn.click(do_download, [session, m_path], [models_df, m_status])
+
+            with gr.Accordion("Add from catalog", open=False):
+                with gr.Row():
+                    cat_provider = gr.Dropdown(
+                        label="Provider", choices=["qwen", "chatterbox"], value="qwen"
+                    )
+                    cat_model = gr.Dropdown(
+                        label="Catalog model", choices=cb.catalog_choices("qwen")
+                    )
+                with gr.Row():
+                    cat_iters = gr.Slider(1, 50, value=10, step=1, label="Max retries")
+                    cat_drift = gr.Slider(0.01, 1.0, value=0.17, step=0.01, label="Drift threshold")
+                    cat_sim = gr.Slider(0.1, 1.0, value=0.85, step=0.01, label="Text similarity")
+                cat_add_btn = gr.Button("Add from catalog", variant="primary")
+                cat_status = gr.Markdown("")
+
+            def on_cat_provider(provider):
+                choices = cb.catalog_choices(provider)
+                return gr.update(choices=choices, value=choices[0][1] if choices else None)
+
+            def on_cat_model(provider, entry_id):
+                e = cb.catalog_entry(provider, entry_id)
+                if e is None:
+                    return gr.update(), gr.update(), gr.update()
+                p = e.get("default_params", {})
+                return (
+                    p.get("max_iterations", 10),
+                    p.get("accent_drift_threshold", 0.17),
+                    p.get("text_similarity_threshold", 0.85),
+                )
+
+            def do_cat_add(ctx, provider, entry_id, iters, drift, sim):
+                _m, msg = cb.add_model_from_catalog(
+                    ctx.state, provider, entry_id,
+                    max_iterations=iters,
+                    accent_drift_threshold=drift,
+                    text_similarity_threshold=sim,
+                )
+                return models_table(ctx), msg
+
+            cat_provider.change(on_cat_provider, [cat_provider], [cat_model])
+            cat_model.change(
+                on_cat_model, [cat_provider, cat_model], [cat_iters, cat_drift, cat_sim]
+            )
+            cat_add_btn.click(
+                do_cat_add,
+                [session, cat_provider, cat_model, cat_iters, cat_drift, cat_sim],
+                [models_df, cat_status],
+            )
+
+            with gr.Accordion("Edit model", open=False):
+                em_id = gr.Textbox(label="Model id")
+                em_load_btn = gr.Button("Load")
+                em_label = gr.Textbox(label="Label")
+                with gr.Row():
+                    em_iters = gr.Slider(1, 50, value=10, step=1, label="Max retries")
+                    em_drift = gr.Slider(0.01, 1.0, value=0.17, step=0.01, label="Drift threshold")
+                    em_sim = gr.Slider(0.1, 1.0, value=0.85, step=0.01, label="Text similarity")
+                em_save_btn = gr.Button("Save changes", variant="primary")
+                em_status = gr.Markdown("")
+
+            def do_load_model(ctx, model_id):
+                d = cb.model_details(ctx.state, model_id)
+                if not d:
+                    return gr.update(), gr.update(), gr.update(), gr.update(), "❌ Model not found."
+                return (
+                    d["label"], d["max_iterations"], d["accent_drift_threshold"],
+                    d["text_similarity_threshold"], "",
+                )
+
+            def do_edit_model(ctx, model_id, label, iters, drift, sim):
+                msg = cb.edit_model(ctx.state, model_id, label, iters, drift, sim)
+                return models_table(ctx), msg
+
+            em_load_btn.click(
+                do_load_model, [session, em_id],
+                [em_label, em_iters, em_drift, em_sim, em_status],
+            )
+            em_save_btn.click(
+                do_edit_model,
+                [session, em_id, em_label, em_iters, em_drift, em_sim],
+                [models_df, em_status],
+            )
 
         # ------------------------------------------------------------------
         # Tab 4: Training

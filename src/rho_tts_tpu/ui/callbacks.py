@@ -482,3 +482,133 @@ def train_classifier(
         clear_cache()
         lines.append(f"✅ Training complete: {outcome.get('path')}")
     yield "\n".join(lines)
+
+
+def voice_details(state: AppState, voice_id: str) -> Dict:
+    """Fields for the Edit Voice form (empty dict when not found)."""
+    v = state.config.get_voice(voice_id)
+    if v is None:
+        return {}
+    return {
+        "name": v.name,
+        "language": v.language,
+        "reference_text": v.reference_text or "",
+        "is_builtin": v.is_builtin,
+    }
+
+
+def edit_voice(
+    state: AppState,
+    voice_id: str,
+    new_name: Optional[str] = None,
+    language: Optional[str] = None,
+    reference_text: Optional[str] = None,
+) -> str:
+    """Update an existing voice profile (parity: reference
+    ``ui/callbacks.py:526-558``). Built-in voices are read-only."""
+    v = state.config.get_voice(voice_id)
+    if v is None:
+        return "❌ Select a voice to edit."
+    if v.is_builtin:
+        return "❌ Built-in voices cannot be edited."
+    if new_name and new_name.strip():
+        clash = any(o.name == new_name.strip() and o.id != v.id for o in state.config.voices)
+        if clash:
+            return f"❌ A voice named '{new_name.strip()}' already exists."
+        v.name = new_name.strip()
+    if language:
+        v.language = language
+    if reference_text is not None:
+        v.reference_text = reference_text.strip() or None
+    state.save()
+    state.invalidate_tts()
+    return f"✅ Voice '{v.name}' updated."
+
+
+def catalog_choices(provider: str) -> List[Tuple[str, str]]:
+    """(label, catalog id) pairs for the provider's model catalog."""
+    return [
+        (e["label"], e["id"]) for e in cfgmod.PROVIDER_MODELS.get(provider, [])
+    ]
+
+
+def catalog_entry(provider: str, entry_id: str) -> Optional[Dict]:
+    """Catalog defaults for one entry (path, needs_reference, params)."""
+    for e in cfgmod.PROVIDER_MODELS.get(provider, []):
+        if e["id"] == entry_id:
+            return dict(e)
+    return None
+
+
+def add_model_from_catalog(
+    state: AppState,
+    provider: str,
+    entry_id: str,
+    custom_label: Optional[str] = None,
+    max_iterations: Optional[int] = None,
+    accent_drift_threshold: Optional[float] = None,
+    text_similarity_threshold: Optional[float] = None,
+) -> Tuple[Optional[ModelConfig], str]:
+    """Register a model from the provider catalog, merging the catalog's
+    defaults with any per-model quality-control overrides (parity:
+    reference ``ui/callbacks.py:565-640``)."""
+    entry = catalog_entry(provider, entry_id)
+    if entry is None:
+        return None, "❌ Pick a model from the catalog."
+    params = dict(entry.get("default_params", {}))
+    if max_iterations is not None:
+        params["max_iterations"] = int(max_iterations)
+    if accent_drift_threshold is not None:
+        params["accent_drift_threshold"] = float(accent_drift_threshold)
+    if text_similarity_threshold is not None:
+        params["text_similarity_threshold"] = float(text_similarity_threshold)
+    return add_model(
+        state,
+        label=(custom_label or entry["label"]).strip(),
+        provider=provider,
+        model_path=entry["model_path"],
+        needs_reference=bool(entry.get("needs_reference", False)),
+        default_params=params,
+    )
+
+
+def model_details(state: AppState, model_id: str) -> Dict:
+    """Fields for the Edit Model form (empty dict when not found)."""
+    m = state.config.get_model(model_id)
+    if m is None:
+        return {}
+    p = m.default_params or {}
+    return {
+        "label": m.label,
+        "max_iterations": p.get("max_iterations", 10),
+        "accent_drift_threshold": p.get("accent_drift_threshold", 0.17),
+        "text_similarity_threshold": p.get("text_similarity_threshold", 0.85),
+    }
+
+
+def edit_model(
+    state: AppState,
+    model_id: str,
+    label: Optional[str] = None,
+    max_iterations: Optional[int] = None,
+    accent_drift_threshold: Optional[float] = None,
+    text_similarity_threshold: Optional[float] = None,
+) -> str:
+    """Update a registered model's label / quality-control parameters
+    (parity: reference ``ui/callbacks.py:677-720``)."""
+    m = state.config.get_model(model_id)
+    if m is None:
+        return "❌ Select a model to edit."
+    if label and label.strip():
+        m.label = label.strip()
+    p = dict(m.default_params or {})
+    if max_iterations is not None:
+        p["max_iterations"] = int(max_iterations)
+    if accent_drift_threshold is not None:
+        p["accent_drift_threshold"] = float(accent_drift_threshold)
+    if text_similarity_threshold is not None:
+        p["text_similarity_threshold"] = float(text_similarity_threshold)
+    m.default_params = p
+    state.save()
+    state.invalidate_tts()
+    return f"✅ Model '{m.label}' updated."

@@ -248,3 +248,88 @@ class TestTraining:
             out = list(cb.train_classifier(state, str(tmp_path)))
         assert any("Extracting" in o for o in out)
         assert "✅" in out[-1]
+
+
+class TestEditVoice:
+    def _add(self, state):
+        v, msg = cb.add_voice(state, "Edit Me", "chatterbox", language="English")
+        assert v is not None, msg
+        return v
+
+    def test_edit_voice_fields(self, state):
+        v = self._add(state)
+        msg = cb.edit_voice(state, v.id, "Edited", "Japanese", "new transcript")
+        assert "✅" in msg
+        v2 = state.config.get_voice(v.id)
+        assert v2.name == "Edited"
+        assert v2.language == "Japanese"
+        assert v2.reference_text == "new transcript"
+
+    def test_edit_voice_details_roundtrip(self, state):
+        v = self._add(state)
+        d = cb.voice_details(state, v.id)
+        assert d["name"] == "Edit Me" and not d["is_builtin"]
+
+    def test_edit_builtin_rejected(self, state):
+        builtin = next(v for v in state.config.voices if v.is_builtin)
+        msg = cb.edit_voice(state, builtin.id, "Nope")
+        assert "❌" in msg
+
+    def test_edit_name_clash_rejected(self, state):
+        v1 = self._add(state)
+        v2, _ = cb.add_voice(state, "Other", "chatterbox", language="English")
+        msg = cb.edit_voice(state, v2.id, "Edit Me")
+        assert "❌" in msg
+        assert state.config.get_voice(v2.id).name == "Other"
+
+    def test_edit_missing_voice(self, state):
+        assert "❌" in cb.edit_voice(state, "voice-nope", "x")
+
+
+class TestCatalogModels:
+    def test_catalog_choices_per_provider(self):
+        q = cb.catalog_choices("qwen")
+        c = cb.catalog_choices("chatterbox")
+        assert q and c and q != c
+        assert all(isinstance(lbl, str) and isinstance(i, str) for lbl, i in q)
+
+    def test_add_from_catalog_merges_overrides(self, state):
+        provider, (label, entry_id) = "qwen", cb.catalog_choices("qwen")[0]
+        # the default catalog entries are pre-registered; delete one first
+        entry = cb.catalog_entry(provider, entry_id)
+        state.config.models = [
+            m for m in state.config.models if m.model_path != entry["model_path"]
+        ]
+        m, msg = cb.add_model_from_catalog(
+            state, provider, entry_id, max_iterations=3, accent_drift_threshold=0.5
+        )
+        assert m is not None, msg
+        assert m.default_params["max_iterations"] == 3
+        assert m.default_params["accent_drift_threshold"] == 0.5
+        # untouched defaults survive from the catalog
+        assert "text_similarity_threshold" in m.default_params
+
+    def test_add_unknown_entry(self, state):
+        m, msg = cb.add_model_from_catalog(state, "qwen", "nope")
+        assert m is None and "❌" in msg
+
+
+class TestEditModel:
+    def test_edit_model_params(self, state):
+        mid = first_model_id(state)
+        msg = cb.edit_model(state, mid, "Renamed", 7, 0.33, 0.66)
+        assert "✅" in msg
+        m = state.config.get_model(mid)
+        assert m.label == "Renamed"
+        assert m.default_params["max_iterations"] == 7
+        assert m.default_params["accent_drift_threshold"] == 0.33
+        assert m.default_params["text_similarity_threshold"] == 0.66
+
+    def test_model_details_roundtrip(self, state):
+        mid = first_model_id(state)
+        cb.edit_model(state, mid, None, 5, None, None)
+        d = cb.model_details(state, mid)
+        assert d["max_iterations"] == 5
+
+    def test_edit_missing_model(self, state):
+        assert "❌" in cb.edit_model(state, "model-nope")
