@@ -64,6 +64,10 @@ def _build_app(multi_user: bool = False):
                 max_iter_sl = gr.Slider(1, 50, value=10, step=1, label="Max validation retries")
                 drift_sl = gr.Slider(0.01, 1.0, value=0.17, step=0.01, label="Accent drift threshold")
                 sim_sl = gr.Slider(0.1, 1.0, value=0.85, step=0.01, label="Text similarity threshold")
+                with gr.Row():
+                    seed_tb = gr.Textbox(label="Seed", value="789")
+                    temp_sl = gr.Slider(0.1, 2.0, value=1.0, step=0.05, label="Temperature (Chatterbox)")
+                    cfgw_sl = gr.Slider(0.0, 1.0, value=0.6, step=0.05, label="CFG weight (Chatterbox)")
                 param_save_btn = gr.Button("Save parameters")
                 param_status = gr.Markdown("")
             with gr.Row():
@@ -93,7 +97,7 @@ def _build_app(multi_user: bool = False):
 
             def on_pair_change(ctx, voice_id, model_id):
                 if not voice_id or not model_id:
-                    return [], 10, 0.17, 0.85
+                    return [], 10, 0.17, 0.85, "789", 1.0, 0.6
                 rows = cb.load_phonetic_rows(ctx.state, voice_id, model_id)
                 params = cb.load_parameters(ctx.state, voice_id, model_id)
                 return (
@@ -101,6 +105,9 @@ def _build_app(multi_user: bool = False):
                     params.get("max_iterations", 10),
                     params.get("accent_drift_threshold", 0.17),
                     params.get("text_similarity_threshold", 0.85),
+                    str(params.get("seed", 789)),
+                    params.get("temperature", 1.0),
+                    params.get("cfg_weight", 0.6),
                 )
 
             def do_generate(ctx, model_id, voice_id, text, fmt, speed, pitch):
@@ -113,17 +120,22 @@ def _build_app(multi_user: bool = False):
             def do_cancel(ctx):
                 return cb.cancel_generation(ctx.state)
 
-            def do_save_params(ctx, voice_id, model_id, max_iter, drift, sim):
+            def do_save_params(ctx, voice_id, model_id, max_iter, drift, sim, seed, temp, cfgw):
                 if not voice_id or not model_id:
                     return "❌ Pick a voice and model first."
-                return cb.save_parameters(
-                    ctx.state, voice_id, model_id,
-                    {
-                        "max_iterations": int(max_iter),
-                        "accent_drift_threshold": float(drift),
-                        "text_similarity_threshold": float(sim),
-                    },
-                )
+                params = {
+                    "max_iterations": int(max_iter),
+                    "accent_drift_threshold": float(drift),
+                    "text_similarity_threshold": float(sim),
+                    # provider-specific keys are filtered in build_tts_kwargs
+                    "temperature": float(temp),
+                    "cfg_weight": float(cfgw),
+                }
+                try:
+                    params["seed"] = int(str(seed).strip())
+                except (TypeError, ValueError):
+                    pass
+                return cb.save_parameters(ctx.state, voice_id, model_id, params)
 
             def do_save_phonetics(ctx, voice_id, model_id, rows):
                 if not voice_id or not model_id:
@@ -134,7 +146,7 @@ def _build_app(multi_user: bool = False):
             model_dd.change(on_model_change, [session, model_dd], [voice_dd])
             voice_dd.change(
                 on_pair_change, [session, voice_dd, model_dd],
-                [phon_df, max_iter_sl, drift_sl, sim_sl],
+                [phon_df, max_iter_sl, drift_sl, sim_sl, seed_tb, temp_sl, cfgw_sl],
             )
             gen_btn.click(
                 do_generate,
@@ -145,7 +157,7 @@ def _build_app(multi_user: bool = False):
             cancel_btn.click(do_cancel, [session], [status_md])
             param_save_btn.click(
                 do_save_params,
-                [session, voice_dd, model_dd, max_iter_sl, drift_sl, sim_sl],
+                [session, voice_dd, model_dd, max_iter_sl, drift_sl, sim_sl, seed_tb, temp_sl, cfgw_sl],
                 [param_status],
             )
             phon_save_btn.click(
