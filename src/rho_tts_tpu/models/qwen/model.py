@@ -504,9 +504,10 @@ class QwenTTSModel:
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        arrays, lens, p = self._build_prompt_arrays(
-            texts, speaker, language, ref_audio, ref_text
-        )
+        with profiling.stage("qwen/prompt_build"):
+            arrays, lens, p = self._build_prompt_arrays(
+                texts, speaker, language, ref_audio, ref_text
+            )
         # Mesh serving: pad the batch to a multiple of the data axis
         n_real = len(texts)
         pad_rows = self._dp_pad(n_real)
@@ -601,15 +602,16 @@ class QwenTTSModel:
             prev_flag = jnp.all(done)
 
         # One packed fetch: codes and the done flags ride the same transfer
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    jnp.concatenate(all_codes, axis=1),
-                    jnp.concatenate(all_done, axis=1)[..., None].astype(jnp.int32),
-                ],
-                axis=-1,
+        with profiling.stage("qwen/fetch_codes"):
+            packed = np.asarray(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate(all_codes, axis=1),
+                        jnp.concatenate(all_done, axis=1)[..., None].astype(jnp.int32),
+                    ],
+                    axis=-1,
+                )
             )
-        )
         codes = packed[..., :-1]  # (B, T, nq)
         done_seq = packed[..., -1].astype(bool)  # (B, T)
 
