@@ -4,7 +4,8 @@ Decode design (TPU-first):
 
 * Conditional and unconditional streams are folded into ONE batch of 2B
   rows, so classifier-free guidance costs a batch doubling instead of two
-  sequential passes; logits mix as ``w * cond + (1 - w) * uncond``.
+  sequential passes; logits mix as ``cond + w * (cond - uncond)``
+  (upstream chatterbox semantics: w=0 disables guidance).
 * Voice conditioning: the shared GE2E speaker encoder's embedding is
   projected into the prompt as a prefix token (reference audio is encoded
   once and cached — parity with the reference's conditionals cache,
@@ -162,11 +163,17 @@ def _prefill(
 
 
 def _cfg_sample(logits2b, rng, temperature, top_k, cfg_weight):
-    """logits2b: (2B, V) rows [cond..., uncond...] → sampled (B,) tokens."""
+    """logits2b: (2B, V) rows [cond..., uncond...] → sampled (B,) tokens.
+
+    Classifier-free-guidance mix follows the upstream chatterbox semantics
+    ``cond + w * (cond - uncond)``: w=0 disables guidance (pure
+    conditional) and larger w extrapolates away from the unconditional
+    stream.
+    """
     b2 = logits2b.shape[0]
     b = b2 // 2
     cond, uncond = logits2b[:b], logits2b[b:]
-    mixed = cfg_weight * cond + (1.0 - cfg_weight) * uncond
+    mixed = cond + cfg_weight * (cond - uncond)
     mixed = mixed / jnp.maximum(temperature, 1e-5)
     vals, idxs = jax.lax.top_k(mixed, top_k)
     g = jax.random.gumbel(rng, vals.shape)
@@ -218,11 +225,13 @@ def _decode_chunk(
 @partial(jax.jit, static_argnames=("cfg",))
 def _vocode(params, cfg: ChatterboxConfig, tokens):
     """tokens (B, T) → waveform (B, T*hop), watermarked."""
-    from ...ops.watermark import _embed_core
+    from ...ops.watermark import DEFAULT_KEY, _embed_core
 
     clamped = jnp.minimum(tokens, cfg.codec.codebook_size - 1)
     wav = codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped[..., None])
-    return jax.vmap(lambda w: _embed_core(w, 0x5EED) if w.shape[-1] >= 1024 else w)(wav)
+    return jax.vmap(
+        lambda w: _embed_core(w, DEFAULT_KEY) if w.shape[-1] >= 1024 else w
+    )(wav)
 
 
 class ChatterboxModel:
@@ -234,10 +243,13 @@ class ChatterboxModel:
         params: Optional[Params] = None,
         seed: int = 0,
         quantization: Optional[str] = None,
+        model_path: Optional[str] = None,
     ):
         self.cfg = cfg
         self.sr = cfg.codec.sample_rate
-        self.tokenizer = load_tokenizer(None, vocab_size=cfg.text_vocab)
+        # A checkpoint directory may bundle its tokenizer.json; text ids
+        # must come from the vocabulary the weights were trained on.
+        self.tokenizer = load_tokenizer(model_path, vocab_size=cfg.text_vocab)
         if params is None:
             params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(seed), cfg)
         if quantization in ("int8", "int4"):
@@ -276,7 +288,10 @@ class ChatterboxModel:
                 params = load_checkpoint(model_path, cfg)
             except Exception as exc:  # noqa: BLE001
                 logger.warning("Chatterbox checkpoint load failed (%s); random init", exc)
-        return cls(cfg, params=params, seed=seed, quantization=quantization)
+        return cls(
+            cfg, params=params, seed=seed, quantization=quantization,
+            model_path=model_path,
+        )
 
     @property
     def speaker_encoder(self):

@@ -121,9 +121,13 @@ def resolve_config(model_path: str) -> QwenTTSConfig:
     otherwise the preset is inferred from the name ("0.6B", "1.7B", "tiny").
     """
     base = "1.7B"
-    for key in PRESETS:
-        if key.lower() in model_path.lower():
-            base = key
+    # Match against the basename only (a parent directory like
+    # '/home/martiny/' must not trigger the 'tiny' preset), preferring the
+    # longest matching preset name.
+    name = os.path.basename(os.path.normpath(str(model_path))).lower()
+    matches = [k for k in PRESETS if k.lower() in name]
+    if matches:
+        base = max(matches, key=len)
     cfg = PRESETS[base]
 
     if os.path.isdir(model_path):

@@ -430,9 +430,15 @@ class QwenTTSModel:
         has_spk = speaker is not None
         spk_id = 0
         if has_spk:
-            spk_id = SPEAKERS.index(speaker) if speaker in SPEAKERS else (
-                abs(hash(speaker)) % cfg.n_speakers
-            )
+            if speaker in SPEAKERS:
+                spk_id = SPEAKERS.index(speaker)
+            else:
+                # Stable digest: Python's str hash is salted per process,
+                # which would pick a different voice row every run.
+                import hashlib
+
+                digest = hashlib.md5(speaker.encode("utf-8")).hexdigest()
+                spk_id = int(digest, 16) % cfg.n_speakers
 
         rows_ids = [
             self.tokenizer.encode(f"{language}: {t}" if language else t)

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import spectral
-from ...ops.resample import resample
 
 logger = logging.getLogger(__name__)
 
@@ -348,9 +347,12 @@ class WhisperTranscriber:
     @classmethod
     def from_pretrained(cls, model_path: str) -> "WhisperTranscriber":
         cfg = PRESETS.get("tiny")
-        for name in PRESETS:
-            if name in os.path.basename(str(model_path)).lower():
-                cfg = PRESETS[name]
+        # Longest-match against the basename so e.g. 'whisper-latest' can
+        # never select the synthetic 'test' preset via substring accident.
+        base = os.path.basename(os.path.normpath(str(model_path))).lower()
+        matches = [n for n in PRESETS if n in base]
+        if matches:
+            cfg = PRESETS[max(matches, key=len)]
         params = None
         tokenizer = None
         if os.path.isdir(model_path):

@@ -262,6 +262,12 @@ def smooth_segment_join(
         prev = processed[i - 1]
         overlap = min(crossfade_samples, int(prev.shape[-1]), int(curr.shape[-1]))
 
+        # NOTE (intentional reference parity, base_tts.py:481-520): when a
+        # segment is shorter than the crossfade its tail can be emitted
+        # twice (appended whole, then crossfaded again), and a held-back
+        # crossfade tail is dropped when the next overlap is <= 10. The
+        # fused _finalize_join_core reproduces both edge cases so DSP
+        # output stays bit-for-bit with the reference chain.
         if overlap > 10:
             parts.append(_crossfade_pair(prev[-overlap:], curr[:overlap]))
 

@@ -90,8 +90,6 @@ def resample_batch(wavs, orig_freq: int, new_freq: int, target_length: int):
     g = math.gcd(orig_freq, new_freq)
     of, nf = orig_freq // g, new_freq // g
     kernel, width = _sinc_kernel(of, nf)
-    import jax
-
     return jax.vmap(
         lambda x: _resample_core(jnp.asarray(x, jnp.float32), kernel, width, of, nf, target_length)
     )(wavs)

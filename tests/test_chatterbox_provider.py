@@ -73,12 +73,33 @@ def test_generation_deterministic_per_seed(tts):
 
 
 def test_watermark_present(tts):
-    from rho_tts_tpu.ops.watermark import detect_watermark
+    """The vocode path embeds the spread-spectrum watermark.
 
-    wav = np.asarray(tts._generate_audio("watermark detection check text"))
-    if wav.size >= 1024:
-        score = detect_watermark(wav)
-        assert score > 3.0  # embedded watermark detectable
+    Statistical detection needs long/tonal audio (random-weight vocoder
+    output is noise-like, burying a −50 dB watermark), so assert the
+    embedding EXACTLY: vocoded audio == raw codec decode + watermark.
+    Detection strength itself is covered by TestWatermarkOp on favorable
+    signals.
+    """
+    import jax.numpy as jnp
+
+    from rho_tts_tpu.models.chatterbox import model as cbm
+    from rho_tts_tpu.models.qwen import codec as codec_lib
+    from rho_tts_tpu.ops.watermark import apply_watermark
+
+    tts._generate_audio("warm the model")  # ensure tts.model exists
+    cfg = tts.model.cfg
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(
+        rng.integers(0, cfg.codec.codebook_size, (1, 1024)), jnp.int32
+    )
+    vocoded = np.asarray(cbm._vocode(tts.model.params, cfg, toks)[0])
+    raw = codec_lib.decode_from_codes(
+        tts.model.params["codec"], cfg.codec, toks[..., None]
+    )[0]
+    expected = np.asarray(apply_watermark(raw))
+    assert not np.allclose(vocoded, np.asarray(raw))  # something was added
+    np.testing.assert_allclose(vocoded, expected, atol=1e-6)
 
 
 class TestWatermarkOp:
