@@ -212,10 +212,15 @@ def bench_pipeline():
 
     tts.generate(texts)  # warmup/compile at the measured batch shapes
     from rho_tts_tpu.utils import profiling as _prof
-    _prof.reset()
-    t0 = time.time()
-    results = tts.generate(texts)
-    wall = time.time() - t0
+    # Median of 3 steady-state runs (relay round-trip variance)
+    walls = []
+    for _ in range(3):
+        _prof.reset()
+        t0 = time.time()
+        results = tts.generate(texts)
+        walls.append(time.time() - t0)
+    walls.sort()
+    wall = walls[1]
     audio_sec = sum(r.duration_sec for r in results if r)
     segs = sum(r.segments_count for r in results if r)
     rtf = audio_sec / wall if wall > 0 else 0.0
@@ -252,16 +257,24 @@ def bench_chatterbox():
         max_iterations=int(os.environ.get("BENCH_CB_ITERS", "1")),
         max_chars_per_segment=400,
         quantization=quant,
+        min_audio_sec=7.0,  # random weights would otherwise EOS early
     )
     tts.trim_silence = False  # random-weight output sits under the trim gate
     text = "A single segment regenerated with the full validation loop enabled."
 
     tts.generate(text)  # warmup/compile
-    t0 = time.time()
-    result = tts.generate(text)
-    wall = time.time() - t0
-    rtf = result.duration_sec / wall if result else 0.0
-    log(f"chatterbox: {result.duration_sec if result else 0:.1f} s audio in {wall:.1f} s → RTF {rtf:.1f}")
+    # Median of 3 steady-state runs: the relay's round-trip latency varies
+    # run to run and would otherwise dominate a single measurement.
+    rtfs = []
+    for _ in range(3):
+        t0 = time.time()
+        result = tts.generate(text)
+        wall = time.time() - t0
+        rtfs.append((result.duration_sec / wall if result else 0.0, wall, result))
+    rtfs.sort()
+    rtf, wall, result = rtfs[1]
+    log(f"chatterbox: {result.duration_sec if result else 0:.1f} s audio in {wall:.1f} s → RTF {rtf:.1f}"
+        f" (runs: {', '.join(f'{r:.1f}' for r, _, _ in rtfs)})")
     print(json.dumps({
         "metric": "chatterbox_single_segment_rtf_per_chip",
         "value": round(rtf, 2),

@@ -186,7 +186,7 @@ def _decode_chunk(
     params, cfg: ChatterboxConfig,
     cache_k, cache_v, key_valid,
     slot0, rope_base, last_tok, done, rng,
-    temperature, cfg_weight, steps: int, top_k: int,
+    temperature, cfg_weight, step_base, min_new, steps: int, top_k: int,
 ):
     b2 = key_valid.shape[0]
     b = b2 // 2
@@ -205,6 +205,11 @@ def _decode_chunk(
         )
         key_valid = key_valid.at[:, slot].set(True)
         logits = jax.lax.dot(h[:, -1], params["lm_head"], preferred_element_type=jnp.float32)
+        # Minimum-duration floor: EOS masked below min_new tokens
+        suppress = (step_base + t) < min_new
+        logits = jnp.where(
+            suppress, logits.at[:, cfg.speech_eos].set(-1e30), logits
+        )
         rng, k = jax.random.split(rng)
         tok = _cfg_sample(logits, k, temperature, top_k, cfg_weight)
         newly_done = tok == cfg.speech_eos
@@ -316,10 +321,16 @@ class ChatterboxModel:
         cfg_weight: float = 0.6,
         max_new_tokens: Optional[int] = None,
         max_cache_len: Optional[int] = None,
+        min_new_tokens: int = 0,
         rng=None,
         cancel_check=None,
     ):
-        """Synthesize one text; returns a 1-D waveform (jax array)."""
+        """Synthesize one text; returns a 1-D waveform (jax array).
+
+        ``min_new_tokens`` masks EOS for the first N tokens — a
+        minimum-duration floor (HF-generation-style ``min_new_tokens``;
+        also keeps random-weight throughput benchmarks honest).
+        """
         cfg = self.cfg
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -377,6 +388,8 @@ class ChatterboxModel:
             cache_k, cache_v, key_valid,
         )
         rng, k0 = jax.random.split(rng)
+        if min_new_tokens > 0:
+            logits = logits.at[:, cfg.speech_eos].set(-1e30)
         tok0 = _cfg_sample(logits, k0, jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight))
         done = tok0 == cfg.speech_eos
         rope_base = jnp.asarray(lens, jnp.int32)
@@ -397,7 +410,9 @@ class ChatterboxModel:
             (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
                 slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
-                jnp.float32(temperature), jnp.float32(cfg_weight), CHUNK, cfg.top_k,
+                jnp.float32(temperature), jnp.float32(cfg_weight),
+                slot0 - jnp.int32(p) + 1, jnp.int32(min_new_tokens),
+                CHUNK, cfg.top_k,
             )
             all_toks.append(toks)
             all_done.append(dones)

@@ -66,6 +66,7 @@ class ChatterboxTTS(BaseTTS):
         cfg_weight: float = 0.6,
         quantization: Optional[str] = None,
         model_path: Optional[str] = None,
+        min_audio_sec: float = 0.0,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -88,6 +89,7 @@ class ChatterboxTTS(BaseTTS):
         # Sampling knobs forwarded into the CFG decode
         self.temperature = temperature
         self.cfg_weight = cfg_weight
+        self.min_audio_sec = min_audio_sec
 
         # The model loads eagerly: this provider's workflow is "many fast
         # regenerations of one segment", so the first generate() must not
@@ -129,6 +131,10 @@ class ChatterboxTTS(BaseTTS):
             prompt_path = None
 
         gen_kwargs = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
+        if self.min_audio_sec > 0:
+            gen_kwargs["min_new_tokens"] = int(
+                self.min_audio_sec * self.model.cfg.codec.frame_rate
+            )
         gen_kwargs.update(kwargs)
 
         return self.model.generate(
