@@ -237,6 +237,55 @@ def bench_pipeline():
     }))
 
 
+def bench_spec():
+    """Speculative-decoding mechanics: round cost with a 0.6B draft.
+
+    Random weights give near-zero draft/target agreement, so realized
+    acceptance is not meaningful here; this measures the COST side —
+    draft-step and verification-forward wall — and reports the break-even
+    acceptance rate a real draft would need (PAPERS.md: arXiv:2410.21951).
+    """
+    import jax
+
+    from rho_tts_tpu.models.qwen import QwenTTSModel
+    from rho_tts_tpu.models.qwen.speculative import speculative_generate_codes
+
+    gamma = int(os.environ.get("BENCH_SPEC_GAMMA", "4"))
+    target = QwenTTSModel.from_pretrained("1.7B-CustomVoice", quantization="int8")
+    draft = QwenTTSModel.from_pretrained("0.6B-CustomVoice", quantization="int8")
+    text = "Speculative decoding measurement sentence for the benchmark run."
+
+    kw = dict(speaker="Vivian", max_frames=192, min_frames=192, gamma=gamma)
+    speculative_generate_codes(target, draft, text, rng=jax.random.PRNGKey(0), **kw)  # compile
+    t0 = time.time()
+    codes, stats = speculative_generate_codes(
+        target, draft, text, rng=jax.random.PRNGKey(1), **kw
+    )
+    wall = time.time() - t0
+    per_round = wall / stats["rounds"] * 1000
+
+    # Normal single-stream decode for the same frame count
+    target.synthesize([text], speaker="Vivian", min_frames=192, max_frames=192)
+    t0 = time.time()
+    target.synthesize([text], speaker="Vivian", min_frames=192, max_frames=192)
+    base_wall = time.time() - t0
+    base_per_tok = base_wall / 192 * 1000
+
+    # speedup(alpha) = E[tokens/round] / (round_cost / base_per_tok);
+    # break-even alpha where expected tokens/round == round_cost/base_tok
+    needed = per_round / base_per_tok
+    log(f"spec: {stats['rounds']} rounds, {stats['emitted']} tokens, "
+        f"{stats['tokens_per_round']:.2f} tok/round (random weights), "
+        f"{per_round:.1f} ms/round vs {base_per_tok:.2f} ms/token baseline → "
+        f"break-even at {needed:.2f} accepted tokens/round of {gamma + 1} possible")
+    print(json.dumps({
+        "metric": f"speculative_breakeven_tokens_per_round_gamma{gamma}",
+        "value": round(needed, 2),
+        "unit": "tokens/round",
+        "vs_baseline": round((gamma + 1) / needed, 2),
+    }))
+
+
 def bench_chatterbox():
     """Config 4: Chatterbox-class single-segment voice clone, full loop."""
     import numpy as np
@@ -304,6 +353,8 @@ def main():
         return bench_pipeline()
     if mode == "chatterbox":
         return bench_chatterbox()
+    if mode == "spec":
+        return bench_spec()
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     quant = os.environ.get("BENCH_QUANT", "int8")  # weight-only int8 is the serving default

@@ -1,0 +1,329 @@
+"""Speculative decoding for the codec-LM (draft-verify, single stream).
+
+Standard speculative sampling (Leviathan et al., arXiv:2211.17192; applied
+to codec-token TTS by arXiv:2410.21951 and arXiv:2410.13839, PAPERS.md): a
+small DRAFT model proposes ``gamma`` primary-codebook tokens
+autoregressively, the TARGET model scores all of them in ONE forward pass,
+and tokens are accepted with probability ``min(1, p(x)/q(x))`` — the
+combined process provably samples from the target distribution while
+shifting most sequential work onto the cheap draft.
+
+TPU-first design points:
+
+* The whole speculation loop runs as ONE ``lax.while_loop`` program —
+  zero host round-trips until the final token fetch. Dynamic acceptance
+  counts are handled with traced scalar cache slots: the in-place
+  ``dynamic_update_slice`` KV caches (models.transformer) accept traced
+  slot offsets, so "rolling back" a rejected suffix is just not marking
+  its slots valid — the next round overwrites them.
+* Verification is a T=gamma+1 batched forward — exactly the shape the MXU
+  wants, replacing gamma sequential target steps.
+* Residual codebooks come from the target's hidden states at the accepted
+  positions (same one-shot code-predictor convention as normal decode).
+
+Single-stream (B=1) only: rows desynchronize under per-row acceptance,
+which would break the batch-uniform cache-slot invariant. Batched serving
+already reaches its throughput ceiling without speculation (BASELINE.md
+5/5a); speculation targets single-stream latency.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transformer as tfm
+from .config import QwenTTSConfig
+from .model import _predict_residuals
+
+Params = Dict[str, Any]
+
+
+def _topk_dist(logits: jnp.ndarray, temperature, top_k: int) -> jnp.ndarray:
+    """Full-vocab probabilities of the top-k + temperature sampler.
+
+    Matches ``model._sample_token``'s distribution: softmax over the top-k
+    logits at the given temperature, zero elsewhere. logits (V,) → (V,).
+    """
+    v = logits.shape[-1]
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)
+    vals, idxs = jax.lax.top_k(scaled, top_k)
+    probs_k = jax.nn.softmax(vals)
+    return jnp.zeros((v,), jnp.float32).at[idxs].set(probs_k)
+
+
+def _sample_from(dist: jnp.ndarray, rng) -> jnp.ndarray:
+    """Sample an index from a (V,) probability vector (gumbel over log p)."""
+    logp = jnp.log(jnp.maximum(dist, 1e-30))
+    g = jax.random.gumbel(rng, dist.shape)
+    return jnp.argmax(jnp.where(dist > 0, logp + g, -jnp.inf))
+
+
+def _mask_eos(logits, eos: int, suppress) -> jnp.ndarray:
+    return jnp.where(suppress, logits.at[..., eos].set(-1e30), logits)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "gamma", "max_rounds", "top_k", "cap"),
+)
+def _spec_decode(
+    tp: Params,
+    dp: Params,
+    cfg_t: QwenTTSConfig,
+    cfg_d: QwenTTSConfig,
+    t_ck, t_cv, t_kv,  # target caches (L,1,S,h,d) ×2 + key_valid (1,S)
+    d_ck, d_cv, d_kv,  # draft caches
+    t_slot0, d_slot0,  # scalars int32: first free slot after prefill
+    pos0,  # scalar int32: rope position of the NEXT token
+    last_tok,  # scalar int32: last emitted primary code
+    rng,
+    temperature,
+    min_frames,  # scalar int32: EOS suppressed below this emitted count
+    gamma: int,
+    max_rounds: int,
+    top_k: int,
+    cap: int,
+):
+    """Speculation loop. Returns (codes (cap, nq), n_emitted, rounds_used).
+
+    Emitted entries beyond the EOS (if any) are pads; the caller slices.
+    """
+    eos = cfg_t.audio_eos
+    nq = cfg_t.codec.n_codebooks
+
+    def round_body(carry):
+        (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, t_slot, d_slot, pos, last,
+         rng, out, n_out, done, rounds) = carry
+
+        # ---- 1. Draft proposes gamma tokens sequentially -----------------
+        def draft_step(c, i):
+            d_ck, d_cv, d_kv, tok, rng2 = c
+            x = dp["audio_embed"][0][tok][None, None, :]  # (1,1,H)
+            h, (d_ck, d_cv) = tfm.stack_forward(
+                dp["talker"], cfg_d.talker, x, (pos + i)[None, None],
+                kv_caches=(d_ck, d_cv), cache_len=d_slot + i,
+                attn_mask=None, key_valid=d_kv,
+            )
+            d_kv2 = d_kv.at[:, d_slot + i].set(True)
+            logits = jax.lax.dot(
+                h[0, -1][None], dp["lm_head"], preferred_element_type=jnp.float32
+            )[0]
+            logits = _mask_eos(logits, cfg_d.audio_eos, (n_out + i) < min_frames)
+            q = _topk_dist(logits, temperature, top_k)
+            rng2, k = jax.random.split(rng2)
+            nxt = _sample_from(q, k).astype(jnp.int32)
+            return (d_ck, d_cv, d_kv2, nxt, rng2), (nxt, q)
+
+        (d_ck, d_cv, d_kv, _, rng), (draft_toks, qs) = jax.lax.scan(
+            draft_step, (d_ck, d_cv, d_kv, last, rng), jnp.arange(gamma)
+        )
+        # draft_toks (gamma,), qs (gamma, V)
+
+        # ---- 2. Target verifies all gamma (+ bonus) in ONE forward -------
+        seq = jnp.concatenate([last[None], draft_toks])  # (gamma+1,)
+        x = tp["audio_embed"][0][seq][None]  # (1, gamma+1, H)
+        # `last` occupies rope position `pos` (same as the draft assigned it)
+        positions = (pos + jnp.arange(gamma + 1))[None]
+        h, (t_ck, t_cv) = tfm.stack_forward(
+            tp["talker"], cfg_t.talker, x, positions,
+            kv_caches=(t_ck, t_cv), cache_len=t_slot,
+            attn_mask=None, key_valid=t_kv,
+        )
+        logits_all = jax.lax.dot(
+            h[0], tp["lm_head"], preferred_element_type=jnp.float32
+        )  # (gamma+1, V)
+        sup = (n_out + jnp.arange(gamma + 1)) < min_frames
+        logits_all = jax.vmap(lambda l, s: _mask_eos(l, eos, s))(logits_all, sup)
+        ps = jax.vmap(lambda l: _topk_dist(l, temperature, top_k))(
+            logits_all
+        )  # (gamma+1, V)
+
+        # ---- 3. Accept / reject --------------------------------------------
+        p_of_draft = jax.vmap(lambda p, t: p[t])(ps[:gamma], draft_toks)
+        q_of_draft = jax.vmap(lambda q, t: q[t])(qs, draft_toks)
+        rng, k_acc = jax.random.split(rng)
+        u = jax.random.uniform(k_acc, (gamma,))
+        accept = u < jnp.minimum(1.0, p_of_draft / jnp.maximum(q_of_draft, 1e-30))
+        # First rejection index (gamma when all accepted)
+        rej = jnp.argmin(jnp.concatenate([accept, jnp.array([False])]))
+        n_acc = jnp.where(accept.all(), gamma, rej).astype(jnp.int32)
+
+        # Extra token: bonus (all accepted) from ps[gamma], else resample
+        # from the residual distribution norm(max(p - q, 0)) at position rej
+        p_rej = ps[jnp.minimum(n_acc, gamma)]
+        q_rej = qs[jnp.minimum(n_acc, gamma - 1)]
+        resid = jnp.maximum(p_rej - q_rej, 0.0)
+        resid_ok = resid.sum() > 1e-12
+        resid = jnp.where(resid_ok, resid / jnp.maximum(resid.sum(), 1e-30), p_rej)
+        extra_dist = jnp.where(accept.all(), ps[gamma], resid)
+        rng, k_x = jax.random.split(rng)
+        extra = _sample_from(extra_dist, k_x).astype(jnp.int32)
+
+        # ---- 4. Emit tokens + residual codebooks ---------------------------
+        # Emission vector (gamma+1,): accepted drafts then the extra token
+        idx = jnp.arange(gamma + 1)
+        emit_toks = jnp.where(
+            idx < n_acc,
+            jnp.concatenate([draft_toks, jnp.zeros((1,), jnp.int32)]),
+            jnp.where(idx == n_acc, extra, cfg_t.audio_pad),
+        )
+        # Residuals from target h at the producing position (h[i] produced
+        # the token at emission slot i).
+        res = _predict_residuals(tp, cfg_t, h[0], emit_toks)  # (gamma+1, nq-1)
+        codes_vec = jnp.concatenate([emit_toks[:, None], res], axis=-1)
+        n_new = n_acc + 1
+
+        # EOS handling: anything at or after an EOS is pad; stop emitting
+        is_eos = emit_toks == eos
+        seen = jnp.cumsum(is_eos.astype(jnp.int32))
+        valid = (idx < n_new) & (seen - is_eos.astype(jnp.int32) == 0)
+        codes_vec = jnp.where(
+            valid[:, None],
+            codes_vec,
+            jnp.full((gamma + 1, nq), cfg_t.audio_pad, jnp.int32),
+        )
+        out = jax.lax.dynamic_update_slice(out, codes_vec, (n_out, jnp.int32(0)))
+        hit_eos = (is_eos & (idx < n_new)).any()
+        n_emit = jnp.where(hit_eos, jnp.argmax(is_eos & (idx < n_new)) + 1, n_new)
+        n_out = jnp.minimum(n_out + n_emit.astype(jnp.int32), cap - (gamma + 1))
+
+        # ---- 5. Commit cache validity & pointers ---------------------------
+        s_t = t_kv.shape[-1]
+        ar_t = jnp.arange(s_t)
+        # target processed [last, x1..xγ] at slots [t_slot, t_slot+gamma];
+        # keep `last`'s slot plus the accepted prefix.
+        t_kv = t_kv | (
+            (ar_t >= t_slot) & (ar_t < t_slot + 1 + n_acc)
+        )[None, :]
+        s_d = d_kv.shape[-1]
+        ar_d = jnp.arange(s_d)
+        # The draft wrote K/V for its INPUTS [last, x1..x_{gamma-1}] at
+        # slots [d_slot, d_slot+gamma). The accepted stream keeps `last`
+        # (d_slot) and x1..x_{n_acc} (d_slot+1 .. d_slot+n_acc); the next
+        # round's first input (`extra`) writes at d_slot + n_acc + 1.
+        d_kv = jnp.where((ar_d > d_slot + n_acc)[None, :], False, d_kv)
+        new_last = jnp.where(hit_eos, eos, extra)
+        t_slot = t_slot + 1 + n_acc
+        d_slot = d_slot + n_acc + 1
+        pos = pos + n_emit.astype(jnp.int32)
+        done = done | hit_eos
+        return (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, t_slot, d_slot, pos,
+                new_last, rng, out, n_out, done, rounds + 1)
+
+    def cond(carry):
+        n_out, done, rounds = carry[12], carry[13], carry[14]
+        return (~done) & (rounds < max_rounds) & (n_out < cap - (gamma + 1))
+
+    out0 = jnp.full((cap, nq), cfg_t.audio_pad, jnp.int32)
+    carry0 = (
+        t_ck, t_cv, t_kv, d_ck, d_cv, d_kv,
+        jnp.asarray(t_slot0, jnp.int32), jnp.asarray(d_slot0, jnp.int32),
+        jnp.asarray(pos0, jnp.int32), jnp.asarray(last_tok, jnp.int32),
+        rng, out0, jnp.int32(0), jnp.asarray(False), jnp.int32(0),
+    )
+    final = jax.lax.while_loop(cond, round_body, carry0)
+    return final[11], final[12], final[14]
+
+
+def speculative_generate_codes(
+    target,
+    draft,
+    text: str,
+    speaker: Optional[str] = None,
+    language: str = "English",
+    max_frames: Optional[int] = None,
+    min_frames: int = 0,
+    gamma: int = 4,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
+    rng=None,
+) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Single-stream speculative decode: returns (codes (T, nq), stats).
+
+    ``target`` / ``draft`` are :class:`~rho_tts_tpu.models.qwen.QwenTTSModel`
+    instances sharing the codec vocabulary (e.g. 1.7B target + 0.6B draft).
+    Stats include the realized acceptance ratio (emitted tokens per round
+    vs the gamma+1 upper bound).
+    """
+    cfg_t, cfg_d = target.config, draft.config
+    if cfg_t.audio_vocab != cfg_d.audio_vocab:
+        raise ValueError("target and draft must share the codec vocabulary")
+    temperature = cfg_t.temperature if temperature is None else temperature
+    top_k = cfg_t.top_k if top_k is None else top_k
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if max_frames is None:
+        max_frames = int(np.clip(len(text) * 1.0 + 50, 64, 1500))
+    cap = int(max_frames + gamma + 1)
+    max_rounds = max(int(max_frames), 1)  # ≥1 token emitted per round
+
+    # Prefill BOTH models on the same prompt (each with its own program)
+    t_pre = _prefill_single(target, text, speaker, language, cap, gamma)
+    d_pre = _prefill_single(draft, text, speaker, language, cap, gamma)
+
+    rng, k0 = jax.random.split(rng)
+    # First token from the target's prefill logits (standard decode step)
+    logits0 = t_pre["logits"]
+    if min_frames > 0:
+        logits0 = logits0.at[cfg_t.audio_eos].set(-1e30)
+    tok0 = _sample_from(_topk_dist(logits0, jnp.float32(temperature), top_k), k0)
+
+    codes, n_out, rounds = _spec_decode(
+        target.params, draft.params, cfg_t, cfg_d,
+        t_pre["ck"], t_pre["cv"], t_pre["kv"],
+        d_pre["ck"], d_pre["cv"], d_pre["kv"],
+        t_pre["slot0"], d_pre["slot0"], t_pre["pos0"],
+        tok0.astype(jnp.int32), rng,
+        jnp.float32(temperature), jnp.int32(min_frames),
+        gamma, int(max_rounds), int(top_k), cap,
+    )
+    codes_np, n, r = jax.device_get((codes, n_out, rounds))
+    n, r = int(n), max(int(r), 1)
+    first = np.full((1, cfg_t.codec.n_codebooks), 0, np.int32)
+    first[0, 0] = int(jax.device_get(tok0))
+    out = np.concatenate([first, np.asarray(codes_np[:n])])
+    # Strip any trailing pads/EOS rows
+    keep = out[:, 0] < cfg_t.codec.codebook_size
+    if not keep.all():
+        end = int(np.argmin(keep))
+        out = out[:max(end, 1)]
+    stats = {
+        "rounds": r,
+        "emitted": n,
+        "tokens_per_round": n / r,
+        "acceptance_upper": gamma + 1,
+    }
+    return out, stats
+
+
+def _prefill_single(model, text, speaker, language, decode_cap, gamma):
+    """Run the model's standard prefill for one text; returns cache state."""
+    from . import model as qm
+
+    cfg = model.config
+    arrays, lens, p = model._build_prompt_arrays(
+        [text], speaker, language, None, None
+    )
+    s = p + int(decode_cap) + gamma + 2
+    ck, cv = tfm.make_kv_cache(cfg.talker, 1, s)
+    kv = jnp.zeros((1, s), bool)
+    logits, ck, cv, kv = qm._prefill(
+        model.params, cfg,
+        jnp.asarray(arrays["ids_slotted"]), jnp.asarray(arrays["text_mask"]),
+        jnp.asarray(arrays["codes_slotted"]), jnp.asarray(arrays["code_mask"]),
+        jnp.asarray(arrays["spk_ids"]), jnp.asarray(arrays["spk_mask"]),
+        jnp.asarray(arrays["rope_pos"]), jnp.asarray(arrays["attn_mask"]),
+        ck, cv, kv,
+    )
+    return {
+        "logits": logits[0],
+        "ck": ck, "cv": cv, "kv": kv,
+        "slot0": jnp.int32(p),
+        "pos0": jnp.int32(lens[0]),
+    }
