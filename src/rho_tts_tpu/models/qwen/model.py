@@ -676,3 +676,38 @@ class QwenTTSModel:
             for row, i in enumerate(idxs):
                 waves[i] = wav[row, : codes[i].shape[0] * hop]
         return waves, self.sample_rate
+
+    def synthesize_speculative(
+        self,
+        text: str,
+        draft: "QwenTTSModel",
+        speaker: Optional[str] = None,
+        language: str = "English",
+        ref_audio: Optional[str] = None,
+        ref_text: Optional[str] = None,
+        max_frames: Optional[int] = None,
+        min_frames: int = 0,
+        gamma: int = 4,
+        rng: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, int]:
+        """Single-stream synthesis with draft-verify speculative decoding.
+
+        ``draft`` is a smaller model sharing the codec vocabulary (e.g. a
+        0.6B draft for a 1.7B target). Returns (waveform (T,), sr). See
+        :mod:`rho_tts_tpu.models.qwen.speculative` for the decode design.
+        """
+        from .speculative import speculative_generate_codes
+
+        codes, _stats = speculative_generate_codes(
+            self, draft, text,
+            speaker=speaker, language=language,
+            ref_audio=ref_audio, ref_text=ref_text,
+            max_frames=max_frames, min_frames=min_frames,
+            gamma=gamma, rng=rng,
+        )
+        hop = self.config.codec.hop
+        t = _round_up(max(codes.shape[0], 1), CHUNK)
+        batch = np.pad(codes, ((0, t - codes.shape[0]), (0, 0)))[None]
+        with profiling.stage("qwen/vocode"):
+            wav = _vocode(self.params, self.config, jnp.asarray(batch))
+        return wav[0, : codes.shape[0] * hop], self.sample_rate

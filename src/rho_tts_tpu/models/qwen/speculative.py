@@ -236,6 +236,8 @@ def speculative_generate_codes(
     text: str,
     speaker: Optional[str] = None,
     language: str = "English",
+    ref_audio: Optional[str] = None,
+    ref_text: Optional[str] = None,
     max_frames: Optional[int] = None,
     min_frames: int = 0,
     gamma: int = 4,
@@ -264,8 +266,8 @@ def speculative_generate_codes(
     max_rounds = max(int(max_frames), 1)  # ≥1 token emitted per round
 
     # Prefill BOTH models on the same prompt (each with its own program)
-    t_pre = _prefill_single(target, text, speaker, language, cap, gamma)
-    d_pre = _prefill_single(draft, text, speaker, language, cap, gamma)
+    t_pre = _prefill_single(target, text, speaker, language, ref_audio, ref_text, cap, gamma)
+    d_pre = _prefill_single(draft, text, speaker, language, ref_audio, ref_text, cap, gamma)
 
     rng, k0 = jax.random.split(rng)
     # First token from the target's prefill logits (standard decode step)
@@ -302,13 +304,13 @@ def speculative_generate_codes(
     return out, stats
 
 
-def _prefill_single(model, text, speaker, language, decode_cap, gamma):
+def _prefill_single(model, text, speaker, language, ref_audio, ref_text, decode_cap, gamma):
     """Run the model's standard prefill for one text; returns cache state."""
     from . import model as qm
 
     cfg = model.config
     arrays, lens, p = model._build_prompt_arrays(
-        [text], speaker, language, None, None
+        [text], speaker, language, ref_audio, ref_text
     )
     s = p + int(decode_cap) + gamma + 2
     ck, cv = tfm.make_kv_cache(cfg.talker, 1, s)

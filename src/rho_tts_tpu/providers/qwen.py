@@ -57,6 +57,11 @@ class QwenTTS(BaseTTS):
             batch rows over the mesh) or "tensor" (talker weights sharded
             over the mesh ``model`` axis for >1-chip checkpoints).
         n_devices: Mesh size for parallel serving (default: all devices).
+        draft_model_path: Optional smaller checkpoint (e.g. 0.6B) used as
+            a speculative-decoding draft for single-segment generations —
+            the draft proposes ``speculative_gamma`` codec tokens per
+            round and the target verifies them in one forward pass.
+        speculative_gamma: Draft tokens proposed per verification round.
     """
 
     MAX_MODEL_CHARS = 4000
@@ -90,6 +95,8 @@ class QwenTTS(BaseTTS):
         min_audio_sec: float = 0.0,
         parallelism: Optional[str] = None,
         n_devices: Optional[int] = None,
+        draft_model_path: Optional[str] = None,
+        speculative_gamma: int = 4,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -112,6 +119,9 @@ class QwenTTS(BaseTTS):
             raise ValueError(f"Unknown parallelism mode: {parallelism!r}")
         self.parallelism = parallelism
         self.n_devices = n_devices
+        self.draft_model_path = draft_model_path
+        self.speculative_gamma = speculative_gamma
+        self._draft_model = None
 
         self._max_chars_explicit = max_chars_per_segment is not None
         self.max_chars_per_segment = (
@@ -146,6 +156,17 @@ class QwenTTS(BaseTTS):
             if self.voice_cloning:
                 self._initialize_reference_embedding()
         return self._model
+
+    def _load_draft(self):
+        """Lazy-load the speculative-decoding draft model."""
+        if self._draft_model is None:
+            from ..models.qwen import QwenTTSModel
+
+            logger.info("Loading speculative draft '%s'...", self.draft_model_path)
+            self._draft_model = QwenTTSModel.from_pretrained(
+                self.draft_model_path, seed=self.seed, quantization=self.quantization
+            )
+        return self._draft_model
 
     def _enable_mesh(self, model):
         """Switch the loaded model to multi-chip serving if requested.
@@ -224,6 +245,20 @@ class QwenTTS(BaseTTS):
             )
 
         min_frames = int(self.min_audio_sec * model.config.codec.frame_rate)
+        if len(text_list) == 1 and self.draft_model_path and not self.parallelism:
+            # Single-segment latency path: draft-verify speculative decode
+            wav, _sr = model.synthesize_speculative(
+                text_list[0],
+                self._load_draft(),
+                speaker=self.speaker if is_custom_voice else None,
+                language=self.language,
+                ref_audio=self.reference_audio_path if not is_custom_voice else None,
+                ref_text=self.reference_text if not is_custom_voice else None,
+                min_frames=min_frames,
+                gamma=self.speculative_gamma,
+                rng=self.next_rng(),
+            )
+            return wav if is_single else [wav]
         waves, _sr = model.synthesize(
             text_list,
             speaker=self.speaker if is_custom_voice else None,
@@ -247,6 +282,7 @@ class QwenTTS(BaseTTS):
         """Release model parameters (device HBM)."""
         super().close()
         self._model = None
+        self._draft_model = None
         self._free_device_memory()
 
     @classmethod

@@ -86,3 +86,23 @@ def test_vocab_mismatch_rejected(target):
 
     with pytest.raises(ValueError, match="vocabulary"):
         speculative_generate_codes(target, FakeModel(), "x")
+
+
+def test_provider_speculative_path(tmp_path):
+    """QwenTTS routes single-segment generation through the draft."""
+    from rho_tts_tpu.providers.qwen import QwenTTS
+
+    tts = QwenTTS(
+        device="cpu",
+        model_path="tiny-CustomVoice",
+        draft_model_path="tiny-CustomVoice",
+        speaker="Vivian",
+        max_iterations=1,
+        min_audio_sec=1.0,
+        speculative_gamma=2,
+    )
+    tts.trim_silence = False
+    result = tts.generate("speculative provider path")
+    assert result is not None and result.audio is not None
+    assert result.duration_sec > 0
+    assert tts._draft_model is not None  # the draft actually loaded
