@@ -286,6 +286,45 @@ def bench_spec():
     }))
 
 
+def bench_ttfa():
+    """Time-to-first-audio: chunked streaming vs full-utterance synthesis."""
+    import jax
+
+    from rho_tts_tpu.models.qwen import QwenTTSModel
+
+    model = QwenTTSModel.from_pretrained("1.7B-CustomVoice", quantization="int8")
+    text = "Streaming first audio latency measurement. " * 6
+    kw = dict(speaker="Vivian", min_frames=256, max_frames=256)
+
+    # warm both paths
+    list(model.stream_chunks(text, rng=jax.random.PRNGKey(0), **kw))
+    model.synthesize([text], rng=jax.random.PRNGKey(0), **kw)
+
+    t0 = time.time()
+    gen = model.stream_chunks(text, rng=jax.random.PRNGKey(1), **kw)
+    piece, sr = next(gen)
+    ttfa = time.time() - t0
+    first_audio_sec = piece.shape[0] / sr
+    rest = sum(p.shape[0] for p, _ in gen) / sr
+    stream_total = time.time() - t0
+
+    t0 = time.time()
+    waves, _ = model.synthesize([text], rng=jax.random.PRNGKey(1), **kw)
+    import numpy as np
+
+    np.asarray(waves[0][:1])
+    full_total = time.time() - t0
+    log(f"ttfa: first {first_audio_sec:.1f}s of audio after {ttfa:.2f}s "
+        f"(stream total {stream_total:.2f}s for {first_audio_sec + rest:.1f}s) "
+        f"vs full-utterance wall {full_total:.2f}s")
+    print(json.dumps({
+        "metric": "time_to_first_audio_1p7b_sec",
+        "value": round(ttfa, 2),
+        "unit": "s",
+        "vs_baseline": round(full_total / ttfa, 2),
+    }))
+
+
 def bench_chatterbox():
     """Config 4: Chatterbox-class single-segment voice clone, full loop."""
     import numpy as np
@@ -355,6 +394,8 @@ def main():
         return bench_chatterbox()
     if mode == "spec":
         return bench_spec()
+    if mode == "ttfa":
+        return bench_ttfa()
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     quant = os.environ.get("BENCH_QUANT", "int8")  # weight-only int8 is the serving default

@@ -711,3 +711,120 @@ class QwenTTSModel:
         with profiling.stage("qwen/vocode"):
             wav = _vocode(self.params, self.config, jnp.asarray(batch))
         return wav[0, : codes.shape[0] * hop], self.sample_rate
+
+    def stream_chunks(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        language: str = "English",
+        ref_audio: Optional[str] = None,
+        ref_text: Optional[str] = None,
+        max_frames: Optional[int] = None,
+        min_frames: int = 0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        rng: Optional[jnp.ndarray] = None,
+        cancel_check=None,
+        context_frames: int = 32,
+    ):
+        """Incremental synthesis: yields waveform pieces per decode chunk.
+
+        Audio appears after the FIRST chunk (~CHUNK/frame_rate seconds of
+        generation) instead of after the whole utterance — constant
+        first-audio latency for long texts. The codec vocoder is fully
+        local (convs + pointwise nonlinearities, no global normalization),
+        so vocoding a sliding window with ``context_frames`` of left/right
+        context reproduces the full-utterance vocode EXACTLY for every
+        emitted sample (golden-tested vs :meth:`synthesize`).
+
+        Yields (waveform_piece (S,), sample_rate). Single stream (B=1).
+        """
+        cfg = self.config
+        temperature = cfg.temperature if temperature is None else temperature
+        top_k = cfg.top_k if top_k is None else top_k
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        arrays, lens, p = self._build_prompt_arrays(
+            [text], speaker, language, ref_audio, ref_text
+        )
+        if max_frames is None:
+            max_frames = int(np.clip(len(text) * 1.0 + 50, CHUNK, 1500))
+        n_chunks = _round_up(max_frames, CHUNK) // CHUNK
+        s = p + n_chunks * CHUNK
+
+        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 1, s)
+        key_valid = jnp.zeros((1, s), bool)
+        sharded = {k: jnp.asarray(v) for k, v in arrays.items()}
+        logits, cache_k, cache_v, key_valid = _prefill(
+            self.params, cfg,
+            sharded["ids_slotted"], sharded["text_mask"],
+            sharded["codes_slotted"], sharded["code_mask"],
+            sharded["spk_ids"], sharded["spk_mask"],
+            sharded["rope_pos"], sharded["attn_mask"],
+            cache_k, cache_v, key_valid,
+        )
+        rng, k0 = jax.random.split(rng)
+        if min_frames > 0:
+            logits = logits.at[:, cfg.audio_eos].set(-1e30)
+        tok0 = _sample_token(logits, k0, jnp.float32(temperature), top_k)
+        first_codes = jnp.concatenate(
+            [tok0[:, None], jnp.zeros((1, cfg.codec.n_codebooks - 1), jnp.int32)],
+            axis=-1,
+        )
+        done = tok0 == cfg.audio_eos
+        rope_base = jnp.asarray(lens, jnp.int32)
+
+        hop = cfg.codec.hop
+        codes_np = np.asarray(first_codes)[0][None]  # (1, nq) grows per chunk
+        finished = bool(np.asarray(done)[0])
+        emitted = 0  # frames already yielded
+        last_codes = first_codes
+        slot0 = jnp.int32(p)
+
+        def vocode_span(lo: int, hi: int, emit_from: int, emit_to: int):
+            """Vocode codes[lo:hi]; return samples for frames [emit_from, emit_to)."""
+            window = codes_np[lo:hi]
+            t = _round_up(window.shape[0], CHUNK)
+            batch = np.pad(window, ((0, t - window.shape[0]), (0, 0)))[None]
+            wav = _vocode(self.params, cfg, jnp.asarray(batch))
+            return wav[0, (emit_from - lo) * hop : (emit_to - lo) * hop]
+
+        for _ in range(n_chunks):
+            if finished:
+                break
+            if cancel_check is not None:
+                cancel_check()
+            (codes_chunk, done_chunk, cache_k, cache_v, key_valid,
+             last_codes, done, rng) = _decode_chunk(
+                self.params, cfg, cache_k, cache_v, key_valid,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_codes, done, rng,
+                jnp.float32(temperature), slot0 - jnp.int32(p) + 1,
+                jnp.int32(min_frames), CHUNK, top_k,
+            )
+            slot0 = slot0 + CHUNK
+            cc, dd = jax.device_get((codes_chunk, done_chunk))
+            cc, dd = np.asarray(cc)[0], np.asarray(dd)[0]
+            hit = np.nonzero(dd)[0]
+            if hit.size:
+                cc = cc[: int(hit[0]) + 1]
+                finished = True
+            codes_np = np.concatenate([codes_np, cc])
+            total = codes_np.shape[0]
+            if finished and codes_np.shape[0] > 1 and (
+                codes_np[-1, 0] >= cfg.codec.codebook_size
+            ):
+                codes_np = codes_np[:-1]  # drop the EOS frame itself
+                total = codes_np.shape[0]
+
+            safe = total if finished else max(total - context_frames, 0)
+            if safe > emitted:
+                lo = max(emitted - context_frames, 0)
+                piece = vocode_span(lo, total, emitted, safe)
+                emitted = safe
+                yield piece, self.sample_rate
+
+        if emitted < codes_np.shape[0]:  # final flush (max_frames reached)
+            total = codes_np.shape[0]
+            lo = max(emitted - context_frames, 0)
+            yield vocode_span(lo, total, emitted, total), self.sample_rate
