@@ -212,15 +212,16 @@ def bench_pipeline():
 
     tts.generate(texts)  # warmup/compile at the measured batch shapes
     from rho_tts_tpu.utils import profiling as _prof
-    # Median of 3 steady-state runs (relay round-trip variance)
-    walls = []
+    # Median of 3 steady-state runs (relay round-trip variance); keep each
+    # run's results so wall and audio_sec come from the SAME run.
+    runs = []
     for _ in range(3):
         _prof.reset()
         t0 = time.time()
         results = tts.generate(texts)
-        walls.append(time.time() - t0)
-    walls.sort()
-    wall = walls[1]
+        runs.append((time.time() - t0, results))
+    runs.sort(key=lambda r: r[0])
+    wall, results = runs[1]
     audio_sec = sum(r.duration_sec for r in results if r)
     segs = sum(r.segments_count for r in results if r)
     rtf = audio_sec / wall if wall > 0 else 0.0
@@ -300,19 +301,20 @@ def bench_ttfa():
     list(model.stream_chunks(text, rng=jax.random.PRNGKey(0), **kw))
     model.synthesize([text], rng=jax.random.PRNGKey(0), **kw)
 
+    import numpy as np
+
     t0 = time.time()
     gen = model.stream_chunks(text, rng=jax.random.PRNGKey(1), **kw)
     piece, sr = next(gen)
+    piece = np.asarray(piece)  # audio is "available" once it reaches the host
     ttfa = time.time() - t0
     first_audio_sec = piece.shape[0] / sr
-    rest = sum(p.shape[0] for p, _ in gen) / sr
+    rest = sum(np.asarray(p).shape[0] for p, _ in gen) / sr
     stream_total = time.time() - t0
 
     t0 = time.time()
     waves, _ = model.synthesize([text], rng=jax.random.PRNGKey(1), **kw)
-    import numpy as np
-
-    np.asarray(waves[0][:1])
+    np.asarray(waves[0])  # symmetric: full waveform fetched
     full_total = time.time() - t0
     log(f"ttfa: first {first_audio_sec:.1f}s of audio after {ttfa:.2f}s "
         f"(stream total {stream_total:.2f}s for {first_audio_sec + rest:.1f}s) "

@@ -712,6 +712,34 @@ class QwenTTSModel:
             wav = _vocode(self.params, self.config, jnp.asarray(batch))
         return wav[0, : codes.shape[0] * hop], self.sample_rate
 
+
+    def _single_prefill(self, text, speaker, language, ref_audio, ref_text,
+                        decode_slots: int):
+        """B=1 prompt build + prefill with ``decode_slots`` free cache slots.
+
+        Shared by the streaming and speculative single-stream paths.
+        Returns dict(logits (V,), ck, cv, kv, p, len0).
+        """
+        cfg = self.config
+        arrays, lens, p = self._build_prompt_arrays(
+            [text], speaker, language, ref_audio, ref_text
+        )
+        s = p + int(decode_slots)
+        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 1, s)
+        key_valid = jnp.zeros((1, s), bool)
+        a = {k: jnp.asarray(v) for k, v in arrays.items()}
+        logits, ck, cv, kv = _prefill(
+            self.params, cfg,
+            a["ids_slotted"], a["text_mask"], a["codes_slotted"],
+            a["code_mask"], a["spk_ids"], a["spk_mask"],
+            a["rope_pos"], a["attn_mask"],
+            cache_k, cache_v, key_valid,
+        )
+        return {
+            "logits": logits[0], "ck": ck, "cv": cv, "kv": kv,
+            "p": p, "len0": int(lens[0]),
+        }
+
     def stream_chunks(
         self,
         text: str,
@@ -734,8 +762,10 @@ class QwenTTSModel:
         first-audio latency for long texts. The codec vocoder is fully
         local (convs + pointwise nonlinearities, no global normalization),
         so vocoding a sliding window with ``context_frames`` of left/right
-        context reproduces the full-utterance vocode EXACTLY for every
-        emitted sample (golden-tested vs :meth:`synthesize`).
+        context reproduces the full-utterance vocode for every emitted
+        sample — interior samples to float precision, window-boundary
+        samples within bf16 conv-tiling tolerance (golden-tested vs
+        :meth:`synthesize`; raise ``context_frames`` to tighten).
 
         Yields (waveform_piece (S,), sample_rate). Single stream (B=1).
         """
@@ -745,25 +775,16 @@ class QwenTTSModel:
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        arrays, lens, p = self._build_prompt_arrays(
-            [text], speaker, language, ref_audio, ref_text
-        )
         if max_frames is None:
             max_frames = int(np.clip(len(text) * 1.0 + 50, CHUNK, 1500))
         n_chunks = _round_up(max_frames, CHUNK) // CHUNK
-        s = p + n_chunks * CHUNK
-
-        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 1, s)
-        key_valid = jnp.zeros((1, s), bool)
-        sharded = {k: jnp.asarray(v) for k, v in arrays.items()}
-        logits, cache_k, cache_v, key_valid = _prefill(
-            self.params, cfg,
-            sharded["ids_slotted"], sharded["text_mask"],
-            sharded["codes_slotted"], sharded["code_mask"],
-            sharded["spk_ids"], sharded["spk_mask"],
-            sharded["rope_pos"], sharded["attn_mask"],
-            cache_k, cache_v, key_valid,
+        pre = self._single_prefill(
+            text, speaker, language, ref_audio, ref_text, n_chunks * CHUNK
         )
+        p = pre["p"]
+        cache_k, cache_v, key_valid = pre["ck"], pre["cv"], pre["kv"]
+        logits = pre["logits"][None]
+        lens = [pre["len0"]]
         rng, k0 = jax.random.split(rng)
         if min_frames > 0:
             logits = logits.at[:, cfg.audio_eos].set(-1e30)

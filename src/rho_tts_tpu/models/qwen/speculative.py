@@ -80,7 +80,7 @@ def _spec_decode(
     d_ck, d_cv, d_kv,  # draft caches
     t_slot0, d_slot0,  # scalars int32: first free slot after prefill
     pos0,  # scalar int32: rope position of the NEXT token
-    last_tok,  # scalar int32: last emitted primary code
+    last_codes,  # (nq,) int32: last emitted full code vector
     rng,
     temperature,
     min_frames,  # scalar int32: EOS suppressed below this emitted count
@@ -100,10 +100,22 @@ def _spec_decode(
         (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, t_slot, d_slot, pos, last,
          rng, out, n_out, done, rounds) = carry
 
-        # ---- 1. Draft proposes gamma tokens sequentially -----------------
+        def embed_codes(params, codes):
+            """(…, nq) code vectors → (…, H): sum over codebook embeddings
+            (the same conditioning the sequential decode uses)."""
+            embs = params["audio_embed"]
+            e = embs[0][codes[..., 0]]
+            for q in range(1, nq):
+                e = e + embs[q][codes[..., q]]
+            return e
+
+        # ---- 1. Draft proposes gamma full code vectors sequentially ------
+        # The scan runs gamma+1 steps: the final step's proposal is unused
+        # but it writes x_gamma's K/V into the draft cache, so an
+        # all-accepted round leaves no hole in the draft's context.
         def draft_step(c, i):
-            d_ck, d_cv, d_kv, tok, rng2 = c
-            x = dp["audio_embed"][0][tok][None, None, :]  # (1,1,H)
+            d_ck, d_cv, d_kv, codes_in, rng2 = c
+            x = embed_codes(dp, codes_in)[None, None, :]  # (1,1,H)
             h, (d_ck, d_cv) = tfm.stack_forward(
                 dp["talker"], cfg_d.talker, x, (pos + i)[None, None],
                 kv_caches=(d_ck, d_cv), cache_len=d_slot + i,
@@ -113,20 +125,25 @@ def _spec_decode(
             logits = jax.lax.dot(
                 h[0, -1][None], dp["lm_head"], preferred_element_type=jnp.float32
             )[0]
-            logits = _mask_eos(logits, cfg_d.audio_eos, (n_out + i) < min_frames)
+            # emission slot i is global frame n_out + 1 + i (tok0 = frame 0)
+            logits = _mask_eos(logits, cfg_d.audio_eos, (n_out + 1 + i) < min_frames)
             q = _topk_dist(logits, temperature, top_k)
             rng2, k = jax.random.split(rng2)
-            nxt = _sample_from(q, k).astype(jnp.int32)
+            prim = _sample_from(q, k).astype(jnp.int32)
+            res_d = _predict_residuals(dp, cfg_d, h[0, -1][None], prim[None])[0]
+            nxt = jnp.concatenate([prim[None], res_d])  # (nq,)
             return (d_ck, d_cv, d_kv2, nxt, rng2), (nxt, q)
 
-        (d_ck, d_cv, d_kv, _, rng), (draft_toks, qs) = jax.lax.scan(
-            draft_step, (d_ck, d_cv, d_kv, last, rng), jnp.arange(gamma)
+        (d_ck, d_cv, d_kv, _, rng), (d_codes_all, qs_all) = jax.lax.scan(
+            draft_step, (d_ck, d_cv, d_kv, last, rng), jnp.arange(gamma + 1)
         )
-        # draft_toks (gamma,), qs (gamma, V)
+        d_codes = d_codes_all[:gamma]  # (gamma, nq) proposals x1..x_gamma
+        qs = qs_all[:gamma]  # (gamma, V)
+        d_prim = d_codes[:, 0]
 
         # ---- 2. Target verifies all gamma (+ bonus) in ONE forward -------
-        seq = jnp.concatenate([last[None], draft_toks])  # (gamma+1,)
-        x = tp["audio_embed"][0][seq][None]  # (1, gamma+1, H)
+        seq_codes = jnp.concatenate([last[None], d_codes])  # (gamma+1, nq)
+        x = embed_codes(tp, seq_codes)[None]  # (1, gamma+1, H)
         # `last` occupies rope position `pos` (same as the draft assigned it)
         positions = (pos + jnp.arange(gamma + 1))[None]
         h, (t_ck, t_cv) = tfm.stack_forward(
@@ -137,26 +154,41 @@ def _spec_decode(
         logits_all = jax.lax.dot(
             h[0], tp["lm_head"], preferred_element_type=jnp.float32
         )  # (gamma+1, V)
-        sup = (n_out + jnp.arange(gamma + 1)) < min_frames
+        sup = (n_out + 1 + jnp.arange(gamma + 1)) < min_frames
         logits_all = jax.vmap(lambda l, s: _mask_eos(l, eos, s))(logits_all, sup)
         ps = jax.vmap(lambda l: _topk_dist(l, temperature, top_k))(
             logits_all
         )  # (gamma+1, V)
 
-        # ---- 3. Accept / reject --------------------------------------------
-        p_of_draft = jax.vmap(lambda p, t: p[t])(ps[:gamma], draft_toks)
-        q_of_draft = jax.vmap(lambda q, t: q[t])(qs, draft_toks)
+        # ---- 3. Accept / reject (primary) + residual consistency ----------
+        p_of_draft = jax.vmap(lambda p, t: p[t])(ps[:gamma], d_prim)
+        q_of_draft = jax.vmap(lambda q, t: q[t])(qs, d_prim)
         rng, k_acc = jax.random.split(rng)
         u = jax.random.uniform(k_acc, (gamma,))
         accept = u < jnp.minimum(1.0, p_of_draft / jnp.maximum(q_of_draft, 1e-30))
-        # First rejection index (gamma when all accepted)
         rej = jnp.argmin(jnp.concatenate([accept, jnp.array([False])]))
-        n_acc = jnp.where(accept.all(), gamma, rej).astype(jnp.int32)
+        n_p = jnp.where(accept.all(), gamma, rej).astype(jnp.int32)
+
+        # Residual consistency: the verification forward consumed the
+        # DRAFT's residual codebooks as inputs; the emitted stream carries
+        # the TARGET's. Positions after the first disagreement saw wrong
+        # inputs, so acceptance truncates there (the disagreeing slot's own
+        # emission is still valid — its hidden state predates the mismatch).
+        res_t_draft = _predict_residuals(tp, cfg_t, h[0, :gamma], d_prim)  # (g, nq-1)
+        res_match = (res_t_draft == d_codes[:, 1:]).all(axis=-1)  # (gamma,)
+        m = jnp.where(
+            res_match.all(), gamma, jnp.argmin(res_match)
+        ).astype(jnp.int32)
+
+        truncated = n_p > m
+        n_eff = jnp.where(truncated, m + 1, n_p)
+        has_extra = ~truncated
 
         # Extra token: bonus (all accepted) from ps[gamma], else resample
-        # from the residual distribution norm(max(p - q, 0)) at position rej
-        p_rej = ps[jnp.minimum(n_acc, gamma)]
-        q_rej = qs[jnp.minimum(n_acc, gamma - 1)]
+        # from norm(max(p - q, 0)) at the rejection slot. Only used when
+        # not residual-truncated.
+        p_rej = ps[jnp.minimum(n_p, gamma)]
+        q_rej = qs[jnp.minimum(n_p, gamma - 1)]
         resid = jnp.maximum(p_rej - q_rej, 0.0)
         resid_ok = resid.sum() > 1e-12
         resid = jnp.where(resid_ok, resid / jnp.maximum(resid.sum(), 1e-30), p_rej)
@@ -165,21 +197,21 @@ def _spec_decode(
         extra = _sample_from(extra_dist, k_x).astype(jnp.int32)
 
         # ---- 4. Emit tokens + residual codebooks ---------------------------
-        # Emission vector (gamma+1,): accepted drafts then the extra token
         idx = jnp.arange(gamma + 1)
-        emit_toks = jnp.where(
-            idx < n_acc,
-            jnp.concatenate([draft_toks, jnp.zeros((1,), jnp.int32)]),
-            jnp.where(idx == n_acc, extra, cfg_t.audio_pad),
+        d_prim_pad = jnp.concatenate([d_prim, jnp.zeros((1,), jnp.int32)])
+        emit_prim = jnp.where(
+            idx < n_eff,
+            d_prim_pad,
+            jnp.where((idx == n_eff) & has_extra, extra, cfg_t.audio_pad),
         )
-        # Residuals from target h at the producing position (h[i] produced
-        # the token at emission slot i).
-        res = _predict_residuals(tp, cfg_t, h[0], emit_toks)  # (gamma+1, nq-1)
-        codes_vec = jnp.concatenate([emit_toks[:, None], res], axis=-1)
-        n_new = n_acc + 1
+        # Emitted residuals always come from the TARGET's predictor at the
+        # producing position (h[i] produced emission slot i).
+        res_emit = _predict_residuals(tp, cfg_t, h[0], emit_prim)  # (g+1, nq-1)
+        codes_vec = jnp.concatenate([emit_prim[:, None], res_emit], axis=-1)
+        n_new = n_eff + has_extra.astype(jnp.int32)
 
         # EOS handling: anything at or after an EOS is pad; stop emitting
-        is_eos = emit_toks == eos
+        is_eos = emit_prim == eos
         seen = jnp.cumsum(is_eos.astype(jnp.int32))
         valid = (idx < n_new) & (seen - is_eos.astype(jnp.int32) == 0)
         codes_vec = jnp.where(
@@ -193,23 +225,31 @@ def _spec_decode(
         n_out = jnp.minimum(n_out + n_emit.astype(jnp.int32), cap - (gamma + 1))
 
         # ---- 5. Commit cache validity & pointers ---------------------------
+        # Both caches keep [base, base + n_eff - truncated]: with an extra
+        # token the slot of x_{n_eff} is valid; under residual truncation
+        # x_{n_eff}'s K/V saw mismatched inputs and is recomputed next
+        # round (the next round's first input is the re-emitted token with
+        # the TARGET's residuals). next_slot = keep + 1 in both cases.
+        cut = truncated.astype(jnp.int32)
+        keep_t = t_slot + n_eff - cut  # `last` at t_slot + accepted inputs
         s_t = t_kv.shape[-1]
         ar_t = jnp.arange(s_t)
-        # target processed [last, x1..xγ] at slots [t_slot, t_slot+gamma];
-        # keep `last`'s slot plus the accepted prefix.
-        t_kv = t_kv | (
-            (ar_t >= t_slot) & (ar_t < t_slot + 1 + n_acc)
-        )[None, :]
+        t_kv = jnp.where((ar_t > keep_t)[None, :], False, t_kv)
+        t_kv = t_kv | ((ar_t >= t_slot) & (ar_t <= keep_t))[None, :]
+        keep_d = d_slot + n_eff - cut
         s_d = d_kv.shape[-1]
         ar_d = jnp.arange(s_d)
-        # The draft wrote K/V for its INPUTS [last, x1..x_{gamma-1}] at
-        # slots [d_slot, d_slot+gamma). The accepted stream keeps `last`
-        # (d_slot) and x1..x_{n_acc} (d_slot+1 .. d_slot+n_acc); the next
-        # round's first input (`extra`) writes at d_slot + n_acc + 1.
-        d_kv = jnp.where((ar_d > d_slot + n_acc)[None, :], False, d_kv)
-        new_last = jnp.where(hit_eos, eos, extra)
-        t_slot = t_slot + 1 + n_acc
-        d_slot = d_slot + n_acc + 1
+        d_kv = jnp.where((ar_d > keep_d)[None, :], False, d_kv)
+
+        # Next round's first input = the LAST EMITTED full code vector
+        last_idx = jnp.maximum(n_emit.astype(jnp.int32) - 1, 0)
+        new_last = jnp.where(
+            hit_eos,
+            jnp.full((nq,), eos, jnp.int32).at[1:].set(0),
+            codes_vec[last_idx],
+        )
+        t_slot = keep_t + 1
+        d_slot = keep_d + 1
         pos = pos + n_emit.astype(jnp.int32)
         done = done | hit_eos
         return (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, t_slot, d_slot, pos,
@@ -223,7 +263,8 @@ def _spec_decode(
     carry0 = (
         t_ck, t_cv, t_kv, d_ck, d_cv, d_kv,
         jnp.asarray(t_slot0, jnp.int32), jnp.asarray(d_slot0, jnp.int32),
-        jnp.asarray(pos0, jnp.int32), jnp.asarray(last_tok, jnp.int32),
+        jnp.asarray(pos0, jnp.int32),
+        jnp.asarray(last_codes, jnp.int32).reshape(nq),
         rng, out0, jnp.int32(0), jnp.asarray(False), jnp.int32(0),
     )
     final = jax.lax.while_loop(cond, round_body, carry0)
@@ -276,12 +317,14 @@ def speculative_generate_codes(
         logits0 = logits0.at[cfg_t.audio_eos].set(-1e30)
     tok0 = _sample_from(_topk_dist(logits0, jnp.float32(temperature), top_k), k0)
 
+    nq = cfg_t.codec.n_codebooks
+    first_codes = jnp.zeros((nq,), jnp.int32).at[0].set(tok0.astype(jnp.int32))
     codes, n_out, rounds = _spec_decode(
         target.params, draft.params, cfg_t, cfg_d,
         t_pre["ck"], t_pre["cv"], t_pre["kv"],
         d_pre["ck"], d_pre["cv"], d_pre["kv"],
         t_pre["slot0"], d_pre["slot0"], t_pre["pos0"],
-        tok0.astype(jnp.int32), rng,
+        first_codes, rng,
         jnp.float32(temperature), jnp.int32(min_frames),
         gamma, int(max_rounds), int(top_k), cap,
     )
@@ -306,26 +349,12 @@ def speculative_generate_codes(
 
 def _prefill_single(model, text, speaker, language, ref_audio, ref_text, decode_cap, gamma):
     """Run the model's standard prefill for one text; returns cache state."""
-    from . import model as qm
-
-    cfg = model.config
-    arrays, lens, p = model._build_prompt_arrays(
-        [text], speaker, language, ref_audio, ref_text
-    )
-    s = p + int(decode_cap) + gamma + 2
-    ck, cv = tfm.make_kv_cache(cfg.talker, 1, s)
-    kv = jnp.zeros((1, s), bool)
-    logits, ck, cv, kv = qm._prefill(
-        model.params, cfg,
-        jnp.asarray(arrays["ids_slotted"]), jnp.asarray(arrays["text_mask"]),
-        jnp.asarray(arrays["codes_slotted"]), jnp.asarray(arrays["code_mask"]),
-        jnp.asarray(arrays["spk_ids"]), jnp.asarray(arrays["spk_mask"]),
-        jnp.asarray(arrays["rope_pos"]), jnp.asarray(arrays["attn_mask"]),
-        ck, cv, kv,
+    pre = model._single_prefill(
+        text, speaker, language, ref_audio, ref_text, int(decode_cap) + gamma + 2
     )
     return {
-        "logits": logits[0],
-        "ck": ck, "cv": cv, "kv": kv,
-        "slot0": jnp.int32(p),
-        "pos0": jnp.int32(lens[0]),
+        "logits": pre["logits"],
+        "ck": pre["ck"], "cv": pre["cv"], "kv": pre["kv"],
+        "slot0": jnp.int32(pre["p"]),
+        "pos0": jnp.int32(pre["len0"]),
     }

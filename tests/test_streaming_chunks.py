@@ -49,8 +49,10 @@ def test_stream_first_piece_is_early(model):
     piece, sr = next(gen)
     assert piece.shape[0] > 0
     assert sr == model.sample_rate
+    from rho_tts_tpu.models.qwen.model import CHUNK
+
     # One decode chunk minus the context, at most
-    assert piece.shape[0] <= 64 * model.config.codec.hop
+    assert piece.shape[0] <= CHUNK * model.config.codec.hop
     gen.close()
 
 
