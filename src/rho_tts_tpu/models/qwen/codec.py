@@ -28,13 +28,30 @@ Params = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
-def conv1d(x, w, b=None, stride=1, dilation=1, padding="SAME"):
-    """x: (B, T, Cin), w: (K, Cin, Cout)."""
+def conv1d(x, w, b=None, stride=1, dilation=1, padding=None):
+    """x: (B, T, Cin), w: (K, Cin, Cout). Torch-exact semantics.
+
+    ``padding=None`` reproduces ``torch.nn.Conv1d(padding=p)`` with
+    ``p = dilation * (k - 1) // 2`` (torch's "same"-style symmetric pad) —
+    for odd kernels at stride 1 this is identical to XLA SAME, but for
+    stride > 1 XLA SAME pads asymmetrically and diverges from torch by a
+    one-sample shift (caught by the torch-oracle parity tests,
+    tests/test_torch_oracle.py). An explicit ``(lo, hi)`` tuple or int is
+    also accepted.
+    """
+    k = w.shape[0]
+    if padding is None:
+        p = dilation * (k - 1) // 2
+        pad = [(p, p)]
+    elif isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = [tuple(padding)]
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride,),
-        padding=padding,
+        padding=pad,
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
@@ -45,12 +62,25 @@ def conv1d(x, w, b=None, stride=1, dilation=1, padding="SAME"):
 
 
 def conv_transpose1d(x, w, b=None, stride=1):
-    """x: (B, T, Cin), w: (K, Cin, Cout); 'SAME' output length T*stride."""
-    out = jax.lax.conv_transpose(
+    """x: (B, T, Cin), w: (K, Cin, Cout); output length exactly T*stride.
+
+    Torch-exact: matches ``torch.nn.ConvTranspose1d(stride=r,
+    padding=(k - r) // 2)`` (the HiFiGAN convention) — implemented as an
+    input-dilated correlation with the kernel flipped along time, which is
+    the identity mapping between conv-transpose and correlation. When
+    ``k - stride`` is odd the torch formula yields T*r + 1 samples; we crop
+    the extra right-edge sample so frame→sample bookkeeping stays exact.
+    """
+    k = w.shape[0]
+    p = (k - stride) // 2
+    lo = k - 1 - p
+    hi = stride - 1 + p
+    out = jax.lax.conv_general_dilated(
         x,
-        w,
-        strides=(stride,),
-        padding="SAME",
+        w[::-1],
+        window_strides=(1,),
+        padding=[(lo, hi)],
+        lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=jnp.float32,
     )
@@ -114,7 +144,7 @@ def init_encoder(key, cfg: CodecConfig, dtype=jnp.bfloat16) -> Params:
 def encode_frames(params: Params, cfg: CodecConfig, wav: jnp.ndarray) -> jnp.ndarray:
     """wav: (B, T_samples) → (B, T_frames, codebook_dim)."""
     rates = tuple(reversed(cfg.upsample_rates))
-    x = wav[..., None].astype(jnp.bfloat16)  # (B, T, 1)
+    x = wav[..., None].astype(params["conv_pre"].dtype)  # (B, T, 1)
     x = conv1d(x, params["conv_pre"])
     for w, rb, r in zip(params["downs"], params["resblocks"], rates):
         x = conv1d(leaky_relu(x), w, stride=r)
@@ -183,8 +213,12 @@ def init_decoder(key, cfg: CodecConfig, dtype=jnp.bfloat16) -> Params:
 
 
 def decode_frames(params: Params, cfg: CodecConfig, frames: jnp.ndarray) -> jnp.ndarray:
-    """frames: (B, T, dim) → waveform (B, T * hop) in [-1, 1]."""
-    x = frames.astype(jnp.bfloat16)
+    """frames: (B, T, dim) → waveform (B, T * hop) in [-1, 1].
+
+    Compute dtype follows the parameters (bf16 in production; fp32 params
+    enable exact torch-oracle parity tests, tests/test_torch_oracle.py).
+    """
+    x = frames.astype(params["conv_pre"].dtype)
     x = conv1d(x, params["conv_pre"])
     for w, rb, r in zip(params["ups"], params["resblocks"], cfg.upsample_rates):
         x = conv_transpose1d(leaky_relu(x), w, stride=r)
@@ -193,12 +227,12 @@ def decode_frames(params: Params, cfg: CodecConfig, frames: jnp.ndarray) -> jnp.
     return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
-def init_codec(key, cfg: CodecConfig) -> Params:
+def init_codec(key, cfg: CodecConfig, dtype=jnp.bfloat16) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "encoder": init_encoder(k1, cfg),
+        "encoder": init_encoder(k1, cfg, dtype),
         "rvq": init_rvq(k2, cfg),
-        "decoder": init_decoder(k3, cfg),
+        "decoder": init_decoder(k3, cfg, dtype),
     }
 
 

@@ -191,14 +191,45 @@ def encode(params: Params, cfg: WhisperConfig, mels: jnp.ndarray) -> jnp.ndarray
     """mels (B, 3000, 80) → encoder states (B, 1500, d)."""
     from ...models.qwen.codec import conv1d  # NHC conv helper
 
-    x = jax.nn.gelu(conv1d(mels, params["conv1"]["w"], params["conv1"]["b"]))
-    x = jax.nn.gelu(conv1d(x, params["conv2"]["w"], params["conv2"]["b"], stride=2))
+    x = jax.nn.gelu(conv1d(mels, params["conv1"]["w"], params["conv1"]["b"]), approximate=False)
+    x = jax.nn.gelu(conv1d(x, params["conv2"]["w"], params["conv2"]["b"], stride=2), approximate=False)
     x = x + params["enc_pos"][None, : x.shape[1]]
     for blk in params["enc_blocks"]:
         x = x + _attention(blk["attn"], _ln(blk["ln1"], x), cfg.heads)
         h = _ln(blk["ln_mlp"], x)
-        x = x + jax.nn.gelu(h @ blk["mlp1"]["w"] + blk["mlp1"]["b"]) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+        x = x + jax.nn.gelu(h @ blk["mlp1"]["w"] + blk["mlp1"]["b"], approximate=False) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
     return _ln(params["enc_ln"], x)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decoder_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    enc: jnp.ndarray,  # (B, Te, d)
+    tokens: jnp.ndarray,  # (B, T) teacher-forced token ids
+) -> jnp.ndarray:
+    """Full (uncached) teacher-forced decoder pass → logits (B, T, vocab).
+
+    Used for sequence scoring and as the uncached reference the KV-cached
+    ``greedy_decode`` is tested against; also the surface the torch-oracle
+    parity test pins to HF ``WhisperModel`` (tests/test_torch_oracle.py).
+    Mirrors the reference's opaque upstream decoder
+    (``src/rho_tts/validation/stt/stt_validator.py:64-71``).
+    """
+    b, t = tokens.shape
+    heads = cfg.heads
+    d = cfg.d_model
+    x = params["tok_embed"][tokens] + params["dec_pos"][:t][None]
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    for blk in params["dec_blocks"]:
+        x = x + _attention(blk["attn"], _ln(blk["ln1"], x), heads, mask=causal)
+        x = x + _attention(blk["cross"], _ln(blk["ln_cross"], x), heads,
+                           kv=(_heads(enc @ blk["cross"]["k"]["w"], heads),
+                               _heads(enc @ blk["cross"]["v"]["w"] + blk["cross"]["v"]["b"], heads)))
+        hm = _ln(blk["ln_mlp"], x)
+        x = x + jax.nn.gelu(hm @ blk["mlp1"]["w"] + blk["mlp1"]["b"], approximate=False) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+    x = _ln(params["dec_ln"], x)
+    return x @ params["tok_embed"].T
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_tokens"))
@@ -256,7 +287,7 @@ def greedy_decode(
             x = x + attn @ blk["attn"]["o"]["w"] + blk["attn"]["o"]["b"]
             x = x + _attention(blk["cross"], _ln(blk["ln_cross"], x), heads, kv=cross_kv[li])
             hm = _ln(blk["ln_mlp"], x)
-            x = x + jax.nn.gelu(hm @ blk["mlp1"]["w"] + blk["mlp1"]["b"]) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+            x = x + jax.nn.gelu(hm @ blk["mlp1"]["w"] + blk["mlp1"]["b"], approximate=False) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
         x = _ln(params["dec_ln"], x)
         return x[:, -1] @ params["tok_embed"].T, cache_k, cache_v
 
