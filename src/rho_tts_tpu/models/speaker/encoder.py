@@ -28,7 +28,10 @@ SAMPLE_RATE = 16000
 N_MELS = 40
 WIN_LENGTH = 400  # 25 ms
 HOP_LENGTH = 160  # 10 ms
-N_FFT = 512
+# resemblyzer passes n_fft = win_length = 400 (25 ms) to librosa's
+# melspectrogram — NOT the next power of two; matching it exactly keeps
+# GE2E checkpoint embeddings transferable (tests/test_librosa_oracle.py).
+N_FFT = 400
 HIDDEN = 256
 LAYERS = 3
 EMBED = 256
@@ -166,7 +169,10 @@ def _forward_windows(
 
 def log_mel(wav: jnp.ndarray) -> jnp.ndarray:
     """(S,) 16 kHz waveform → (T, 40) log-mel frames."""
-    window = spectral.hann_window(WIN_LENGTH, periodic=False)
+    # resemblyzer computes librosa.feature.melspectrogram with defaults:
+    # periodic ("fftbins") hann + centered CONSTANT padding on librosa>=0.10
+    # (the reference's pin); pinned by tests/test_librosa_oracle.py.
+    window = spectral.hann_window(WIN_LENGTH, periodic=True)
     spec = spectral.stft(
         jnp.asarray(wav, jnp.float32),
         N_FFT,
@@ -174,7 +180,7 @@ def log_mel(wav: jnp.ndarray) -> jnp.ndarray:
         WIN_LENGTH,
         window,
         center=True,
-        pad_mode="reflect",
+        pad_mode="constant",
     )
     power = jnp.abs(spec) ** 2  # (freq, time)
     fb = spectral.mel_filterbank(SAMPLE_RATE, N_FFT, N_MELS)

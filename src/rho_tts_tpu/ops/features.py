@@ -28,7 +28,11 @@ MFCC_SR = 16000
 
 @partial(jax.jit, static_argnames=("sr", "n_mfcc", "n_fft", "hop", "n_mels"))
 def _mfcc_core(wav, sr: int, n_mfcc: int, n_fft: int, hop: int, n_mels: int):
-    spec = spectral.stft(wav, n_fft, hop, n_fft, spectral.hann_window(n_fft), center=True)
+    # librosa>=0.10 (the reference's pin) zero-pads the centered STFT
+    # (pad_mode="constant"), NOT reflect — pinned by the numpy oracle in
+    # tests/test_librosa_oracle.py so reference-trained classifiers transfer.
+    spec = spectral.stft(wav, n_fft, hop, n_fft, spectral.hann_window(n_fft),
+                         center=True, pad_mode="constant")
     power = jnp.abs(spec) ** 2  # (freq, T)
     fb = spectral.mel_filterbank(sr, n_fft, n_mels)
     mels = fb @ power  # (n_mels, T)
@@ -246,7 +250,8 @@ def _mfcc_stats_batch(wavs, frame_counts, sr: int, n_mfcc: int, n_fft: int, hop:
     Returns (mean (B, n_mfcc), std (B, n_mfcc)).
     """
     window = spectral.hann_window(n_fft)
-    spec = jax.vmap(lambda w: spectral.stft(w, n_fft, hop, n_fft, window, center=True))(wavs)
+    spec = jax.vmap(lambda w: spectral.stft(
+        w, n_fft, hop, n_fft, window, center=True, pad_mode="constant"))(wavs)
     power = jnp.abs(spec) ** 2  # (B, F, T)
     fb = spectral.mel_filterbank(sr, n_fft, n_mels)
     mels = jnp.einsum("mf,bft->bmt", fb, power)

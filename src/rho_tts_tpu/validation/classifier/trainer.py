@@ -129,23 +129,6 @@ def _bucket(n: int, minimum: int = 16000) -> int:
     return b
 
 
-def _reflect_fill(wavs, lens, reflect: int):
-    """Replace the zero padding of each row with its reflected tail.
-
-    wavs (B, L) zero-padded past lens (B,); rows become
-    [wav, reflect(tail, reflect), zeros] so STFT boundary frames match the
-    per-clip computation's center-reflection. Pure gather/where — on device.
-    """
-    import jax.numpy as jnp
-
-    l = wavs.shape[-1]
-    j = jnp.arange(l)[None, :]
-    n = lens[:, None]
-    ref_idx = jnp.clip(2 * n - 2 - j, 0, l - 1)
-    refl = jnp.take_along_axis(wavs, ref_idx, axis=-1)
-    return jnp.where(j < n, wavs, jnp.where(j < n + reflect, refl, 0.0))
-
-
 def _drift_device_core(spk_params, wavs16, lens16, nwb: int):
     """All drift features for a bucketed 16 kHz batch, on device.
 
@@ -162,17 +145,19 @@ def _drift_device_core(spk_params, wavs16, lens16, nwb: int):
     b, l = wavs16.shape
     lens16 = jnp.asarray(lens16, jnp.int32)
 
-    # ---- MFCC statistics (masked, reflect-filled boundaries) ----
-    wav_r = _reflect_fill(wavs16, lens16, _MFCC_NFFT // 2)
+    # ---- MFCC statistics (masked; zero padding past each clip's length
+    # IS the librosa>=0.10 constant-pad boundary semantics) ----
     mfcc_counts = 1 + lens16 // _MFCC_HOP
     mean, std = feats._mfcc_stats_batch(
-        wav_r, mfcc_counts, feats.MFCC_SR, 13, _MFCC_NFFT, _MFCC_HOP, 128
+        wavs16, mfcc_counts, feats.MFCC_SR, 13, _MFCC_NFFT, _MFCC_HOP, 128
     )
 
     # ---- F0 via YIN, picked and reduced on device ----
     tau_min = max(int(feats.MFCC_SR / 2093.0), 1)
     tau_max = min(int(feats.MFCC_SR / 65.41) + 1, _YIN_FRAME // 2)
-    cmnd, e0 = feats._yin_cmnd_batch(wav_r, _YIN_FRAME, _YIN_HOP, tau_max)
+    # YIN frames are masked to lie fully inside the valid region below, so
+    # the zero tail never reaches a counted frame.
+    cmnd, e0 = feats._yin_cmnd_batch(wavs16, _YIN_FRAME, _YIN_HOP, tau_max)
     f0, voiced = feats.yin_pick_device(
         cmnd, e0, feats.MFCC_SR, tau_min, tau_max, _YIN_FRAME, 0.1, 0.5
     )
@@ -228,7 +213,6 @@ def _drift_device_core(spk_params, wavs16, lens16, nwb: int):
     spk_len = jnp.where(use_vad, voiced_fr.sum(-1) * win + rem_len, lens16)
     spk_wav = jnp.where(use_vad[:, None], compact, w)
 
-    spk_wav = _reflect_fill(spk_wav, spk_len, spk_enc.N_FFT // 2)
     mels = jax.vmap(spk_enc.log_mel)(spk_wav)  # (B, Tm, 40)
     t_frames = 1 + spk_len // spk_enc.HOP_LENGTH
     fmask = jnp.arange(mels.shape[1])[None, :] < t_frames[:, None]
