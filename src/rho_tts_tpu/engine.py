@@ -683,8 +683,11 @@ class BaseTTS(ABC):
             # drift-passing segments.
             if stt_future is not None and not voice_ok_idx:
                 # Every segment failed drift — the speculative result is
-                # unusable; cancel if still queued so it can't delay the
-                # next iteration's transcription.
+                # unusable. cancel() only helps if the task is still queued;
+                # once running on the 1-thread pool it completes (discarded)
+                # and the next iteration's STT submit queues behind it. The
+                # retry's generation overlaps that drain, so the cost is
+                # bounded by one stale transcription, not a stall.
                 stt_future.cancel()
             if voice_ok_idx and stt_future is not None:
                 try:
@@ -1393,18 +1396,37 @@ class BaseTTS(ABC):
         """Yield one GenerationResult per text segment as generated.
 
         Unlike generate(), segments are not crossfaded or validated — each
-        is trimmed/faded and yielded as soon as it's ready.
+        is trimmed/faded and yielded as soon as it's ready (reference
+        semantics: ``src/rho_tts/base_tts.py:1132-1190``).
+
+        Providers that implement :meth:`_stream_audio_chunks` (e.g. the
+        Qwen codec-LM via ``stream_chunks``) additionally stream each
+        segment as sub-segment chunks — first audio arrives after the first
+        decode chunk (~constant latency regardless of segment length)
+        instead of after the whole segment. Chunk mode is bypassed when
+        speed/pitch shifting is requested (those transforms need the whole
+        segment).
         """
         token = cancellation_token or CancellationToken()
         mapped_text = self._apply_phonetic_mapping(text)
         effective_max_chars = self._compute_max_chars()
         segments = self._split_text_into_segments(mapped_text, effective_max_chars)
+        chunk_ok = speed == 1.0 and pitch_semitones == 0.0
 
         for seg_idx, segment in enumerate(segments):
             if token.is_cancelled():
                 return
 
             self._set_seeds()
+            if chunk_ok:
+                try:
+                    chunk_iter = self._stream_audio_chunks(segment, token)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"Segment {seg_idx + 1} failed: {e}")
+                    continue
+                if chunk_iter is not None:
+                    yield from self._stream_segment_chunks(chunk_iter, token, seg_idx)
+                    continue
             try:
                 raw = self._generate_audio(segment)
                 audio = self._post_process_audio(raw)
@@ -1428,6 +1450,74 @@ class BaseTTS(ABC):
                 segments_count=1,
                 format="wav",
             )
+
+    # -- Chunked streaming hooks (provider-optional) -----------------------
+
+    def _stream_audio_chunks(
+        self, text: str, cancellation_token: Optional[CancellationToken] = None
+    ):
+        """Optional provider hook: iterator of device waveform chunks.
+
+        Return an iterator yielding raw waveform pieces for ONE segment as
+        they decode (sub-segment granularity), or None when the provider
+        has no incremental path — ``stream()`` then falls back to
+        per-segment yields. The TPU-native analogue of streaming decode;
+        the reference has no equivalent (its ``stream()`` granularity stops
+        at segments, ``src/rho_tts/base_tts.py:1132-1190``).
+        """
+        return None
+
+    def _make_chunk_postprocessor(self):
+        """Per-chunk post-processing callable for chunked streaming.
+
+        Providers whose ``_post_process_audio`` is global (e.g. Qwen's
+        full-utterance loudness normalization) return a causal equivalent
+        here (``dsp.StreamingLoudness``). Default: identity.
+        """
+        return lambda chunk: chunk
+
+    def _stream_segment_chunks(self, chunk_iter, token, seg_idx: int):
+        """Drive one segment's chunk iterator through streaming DSP.
+
+        First chunk: leading-silence trim + fade-in. Last chunk (detected
+        with one-chunk lookahead): trailing trim + fade-out. Every chunk
+        passes through the provider's causal post-processor. DC-offset
+        removal is skipped in chunk mode (it needs the full signal; codec
+        output is DC-free to within fade tolerance).
+        """
+        post = self._make_chunk_postprocessor()
+        first_pending = True
+        prev = None
+        try:
+            for raw in chunk_iter:
+                if token.is_cancelled():
+                    return
+                chunk = post(raw)
+                if first_pending:
+                    chunk = self._trim_silence(chunk, from_start=True, from_end=False)
+                    chunk = self._apply_fades(chunk, fade_in=True, fade_out=False)
+                    first_pending = False
+                if prev is not None:
+                    yield self._chunk_result(prev)
+                prev = chunk
+        except CancelledException:
+            return
+        except Exception as e:  # noqa: BLE001
+            logger.warning(f"Segment {seg_idx + 1} chunk stream failed: {e}")
+        if prev is not None and not token.is_cancelled():
+            prev = self._trim_silence(prev, from_start=False, from_end=True)
+            prev = self._apply_fades(prev, fade_in=False, fade_out=True)
+            yield self._chunk_result(prev)
+
+    def _chunk_result(self, audio) -> GenerationResult:
+        num_samples = int(np.prod(audio.shape))
+        return GenerationResult(
+            audio=audio,
+            sample_rate=self.sample_rate,
+            duration_sec=num_samples / self.sample_rate,
+            segments_count=1,
+            format="wav",
+        )
 
     @property
     @abstractmethod

@@ -45,6 +45,18 @@ Params = Dict[str, Any]
 import os as _os
 
 CHUNK = int(_os.environ.get("RHO_TTS_TPU_DECODE_CHUNK", "64"))
+
+
+def _chunk() -> int:
+    """Decode-chunk size, re-read from the env at call time.
+
+    The module-level ``CHUNK`` is only the import-time snapshot kept for
+    backwards compatibility (tests import it); call sites use this helper
+    so setting ``RHO_TTS_TPU_DECODE_CHUNK`` after import takes effect.
+    Different values compile distinct programs (the chunk is a static
+    shape), so change it between generations, not mid-stream.
+    """
+    return int(_os.environ.get("RHO_TTS_TPU_DECODE_CHUNK", str(CHUNK)))
 # Prompt bucket granularity (slots).
 PROMPT_BUCKET = 64
 
@@ -530,9 +542,9 @@ class QwenTTSModel:
 
         if max_frames is None:
             max_chars = max(len(t) for t in texts)
-            max_frames = int(np.clip(max_chars * 1.0 + 50, CHUNK, 1500))
-        n_chunks = _round_up(max_frames, CHUNK) // CHUNK
-        s = p + n_chunks * CHUNK
+            max_frames = int(np.clip(max_chars * 1.0 + 50, _chunk(), 1500))
+        n_chunks = _round_up(max_frames, _chunk()) // _chunk()
+        s = p + n_chunks * _chunk()
 
         cache_k, cache_v = tfm.make_kv_cache(cfg.talker, b, s)
         cache_k, cache_v = self._shard_kv(cache_k), self._shard_kv(cache_v)
@@ -594,12 +606,12 @@ class QwenTTSModel:
                     jnp.float32(temperature),
                     slot0 - jnp.int32(p) + 1,
                     jnp.int32(min_frames),
-                    CHUNK,
+                    _chunk(),
                     top_k,
                 )
             all_codes.append(codes_chunk)
             all_done.append(done_chunk)
-            slot0 = slot0 + CHUNK
+            slot0 = slot0 + _chunk()
             # Early exit on the PREVIOUS chunk's flag: it is already
             # materialized, so the fetch overlaps the chunk just dispatched
             # (worst case one surplus chunk, never a device stall).
@@ -665,7 +677,7 @@ class QwenTTSModel:
         waves: List[Optional[jnp.ndarray]] = [None] * len(codes)
         buckets: Dict[int, List[int]] = {}
         for i, c in enumerate(codes):
-            t = _round_up(c.shape[0], CHUNK)
+            t = _round_up(c.shape[0], _chunk())
             buckets.setdefault(t, []).append(i)
         for t, idxs in buckets.items():
             batch = np.stack(
@@ -706,7 +718,7 @@ class QwenTTSModel:
             gamma=gamma, rng=rng,
         )
         hop = self.config.codec.hop
-        t = _round_up(max(codes.shape[0], 1), CHUNK)
+        t = _round_up(max(codes.shape[0], 1), _chunk())
         batch = np.pad(codes, ((0, t - codes.shape[0]), (0, 0)))[None]
         with profiling.stage("qwen/vocode"):
             wav = _vocode(self.params, self.config, jnp.asarray(batch))
@@ -776,10 +788,10 @@ class QwenTTSModel:
             rng = jax.random.PRNGKey(0)
 
         if max_frames is None:
-            max_frames = int(np.clip(len(text) * 1.0 + 50, CHUNK, 1500))
-        n_chunks = _round_up(max_frames, CHUNK) // CHUNK
+            max_frames = int(np.clip(len(text) * 1.0 + 50, _chunk(), 1500))
+        n_chunks = _round_up(max_frames, _chunk()) // _chunk()
         pre = self._single_prefill(
-            text, speaker, language, ref_audio, ref_text, n_chunks * CHUNK
+            text, speaker, language, ref_audio, ref_text, n_chunks * _chunk()
         )
         p = pre["p"]
         cache_k, cache_v, key_valid = pre["ck"], pre["cv"], pre["kv"]
@@ -806,7 +818,7 @@ class QwenTTSModel:
         def vocode_span(lo: int, hi: int, emit_from: int, emit_to: int):
             """Vocode codes[lo:hi]; return samples for frames [emit_from, emit_to)."""
             window = codes_np[lo:hi]
-            t = _round_up(window.shape[0], CHUNK)
+            t = _round_up(window.shape[0], _chunk())
             batch = np.pad(window, ((0, t - window.shape[0]), (0, 0)))[None]
             wav = _vocode(self.params, cfg, jnp.asarray(batch))
             return wav[0, (emit_from - lo) * hop : (emit_to - lo) * hop]
@@ -821,9 +833,9 @@ class QwenTTSModel:
                 self.params, cfg, cache_k, cache_v, key_valid,
                 slot0, rope_base + (slot0 - jnp.int32(p)), last_codes, done, rng,
                 jnp.float32(temperature), slot0 - jnp.int32(p) + 1,
-                jnp.int32(min_frames), CHUNK, top_k,
+                jnp.int32(min_frames), _chunk(), top_k,
             )
-            slot0 = slot0 + CHUNK
+            slot0 = slot0 + _chunk()
             cc, dd = jax.device_get((codes_chunk, done_chunk))
             cc, dd = np.asarray(cc)[0], np.asarray(dd)[0]
             hit = np.nonzero(dd)[0]

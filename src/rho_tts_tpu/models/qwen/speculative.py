@@ -265,7 +265,13 @@ def _spec_decode(
         jnp.asarray(t_slot0, jnp.int32), jnp.asarray(d_slot0, jnp.int32),
         jnp.asarray(pos0, jnp.int32),
         jnp.asarray(last_codes, jnp.int32).reshape(nq),
-        rng, out0, jnp.int32(0), jnp.asarray(False), jnp.int32(0),
+        # done starts true when the FIRST sampled token is already EOS
+        # (matches the batch path in model.py: done = tok0 == eos); without
+        # this the loop would decode max_rounds conditioned on the EOS
+        # embedding before the host strip discards everything.
+        rng, out0, jnp.int32(0),
+        jnp.asarray(last_codes, jnp.int32).reshape(nq)[0] == eos,
+        jnp.int32(0),
     )
     final = jax.lax.while_loop(cond, round_body, carry0)
     return final[11], final[12], final[14]

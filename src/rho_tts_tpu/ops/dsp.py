@@ -859,3 +859,64 @@ def finalize_segments(
         return out, jnp.stack([total_len.astype(jnp.float32), ratio])
     meta = np.asarray(jnp.stack([total_len.astype(jnp.float32), ratio]))
     return out[: int(meta[0])], float(meta[1])
+
+
+# ---------------------------------------------------------------------------
+# Streaming (causal) loudness for chunked synthesis
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _chunk_stats(chunk):
+    """One tiny fetch per chunk: (sum of squares, sample count)."""
+    c = chunk.astype(jnp.float32)
+    return jnp.stack([jnp.sum(c * c), jnp.float32(c.shape[-1])])
+
+
+@jax.jit
+def _apply_gain_clip(chunk, gain):
+    c = chunk.astype(jnp.float32) * gain
+    # same soft clip as loudness_postprocess pass 3
+    return jnp.where(jnp.abs(c) > 0.95, jnp.tanh(c / 0.95) * 0.95, c)
+
+
+class StreamingLoudness:
+    """Causal loudness normalization for chunked streaming synthesis.
+
+    The one-shot :func:`loudness_postprocess` (reference parity,
+    ``src/rho_tts/providers/qwen.py:268-378``) is global — it sees the whole
+    utterance before computing the gain envelope. A stream cannot, so this
+    applies per-chunk gain toward the same -23 dBFS target computed from
+    the *running* RMS of all audio seen so far (the first chunk uses its
+    own RMS), slew-limited between chunks to avoid audible gain steps, and
+    finishes with the same 0.95 tanh soft clip. Only an 8-byte statistic
+    crosses device→host per chunk; audio stays on device.
+    """
+
+    def __init__(
+        self,
+        target_rms_db: float = -23.0,
+        max_gain_db: float = 18.0,
+        max_step_db: float = 3.0,
+    ):
+        self._target = 10.0 ** (target_rms_db / 20.0)
+        self._max_gain = 10.0 ** (max_gain_db / 20.0)
+        self._max_step = 10.0 ** (max_step_db / 20.0)
+        self._sumsq = 0.0
+        self._count = 0.0
+        self._last_gain = None
+
+    def process(self, chunk):
+        """Device waveform chunk → gain-corrected, soft-clipped chunk."""
+        stats = np.asarray(_chunk_stats(chunk))
+        self._sumsq += float(stats[0])
+        self._count += float(stats[1])
+        rms = (self._sumsq / max(self._count, 1.0)) ** 0.5
+        if rms < 1e-8:
+            return chunk
+        gain = min(self._target / rms, self._max_gain)
+        if self._last_gain is not None:
+            lo, hi = self._last_gain / self._max_step, self._last_gain * self._max_step
+            gain = min(max(gain, lo), hi)
+        self._last_gain = gain
+        return _apply_gain_clip(chunk, jnp.float32(gain))

@@ -278,6 +278,44 @@ class QwenTTS(BaseTTS):
         """
         return dsp.loudness_postprocess(audio, self.sample_rate)
 
+    def _stream_audio_chunks(self, text: str, cancellation_token=None):
+        """Chunked streaming via the codec-LM's sliding-window vocoder.
+
+        Single-stream only: the DP/TP serving paths and speculative decode
+        keep per-segment streaming (engine falls back when None).
+        """
+        if self.parallelism or self.draft_model_path:
+            return None
+        model = self._load_model()
+        is_custom_voice = "CustomVoice" in self.model_path
+        if is_custom_voice and not self.speaker:
+            raise ValueError(
+                "CustomVoice model requires a named speaker for streaming."
+            )
+        if not is_custom_voice and not self.voice_cloning:
+            raise ValueError(
+                "Qwen Base model requires reference audio for voice cloning."
+            )
+        min_frames = int(self.min_audio_sec * model.config.codec.frame_rate)
+        cancel_check = (
+            cancellation_token.raise_if_cancelled if cancellation_token else None
+        )
+        gen = model.stream_chunks(
+            text,
+            speaker=self.speaker if is_custom_voice else None,
+            language=self.language,
+            ref_audio=self.reference_audio_path if not is_custom_voice else None,
+            ref_text=self.reference_text if not is_custom_voice else None,
+            min_frames=min_frames,
+            rng=self.next_rng(),
+            cancel_check=cancel_check,
+        )
+        return (wav for wav, _sr in gen)
+
+    def _make_chunk_postprocessor(self):
+        """Causal analogue of the global loudness pass for chunk mode."""
+        return dsp.StreamingLoudness().process
+
     def close(self) -> None:
         """Release model parameters (device HBM)."""
         super().close()

@@ -131,11 +131,14 @@ def _build_app(multi_user: bool = False):
                     "temperature": float(temp),
                     "cfg_weight": float(cfgw),
                 }
-                try:
-                    params["seed"] = int(str(seed).strip())
-                except (TypeError, ValueError):
-                    pass
-                return cb.save_parameters(ctx.state, voice_id, model_id, params)
+                seed_warn = ""
+                raw_seed = "" if seed is None else str(seed).strip()
+                if raw_seed:
+                    try:
+                        params["seed"] = int(raw_seed)
+                    except (TypeError, ValueError):
+                        seed_warn = " ⚠️ seed must be an integer — seed not saved"
+                return cb.save_parameters(ctx.state, voice_id, model_id, params) + seed_warn
 
             def do_save_phonetics(ctx, voice_id, model_id, rows):
                 if not voice_id or not model_id:
