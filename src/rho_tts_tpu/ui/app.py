@@ -388,6 +388,55 @@ def _build_app(multi_user: bool = False):
                 [models_df, em_status],
             )
 
+            with gr.Accordion("TPU serving", open=False):
+                # TPU-native analogue of the reference's device dropdown
+                # (src/rho_tts/ui/app.py:73-85): precision + mesh layout +
+                # speculative draft instead of cuda/cpu placement.
+                sv_id = gr.Textbox(label="Model id")
+                sv_load_btn = gr.Button("Load")
+                with gr.Row():
+                    sv_quant = gr.Dropdown(
+                        label="Quantization", choices=["bf16", "int8", "int4"],
+                        value="int8",
+                    )
+                    sv_parallel = gr.Dropdown(
+                        label="Parallelism", choices=["none", "data", "tensor"],
+                        value="none",
+                    )
+                with gr.Row():
+                    sv_draft = gr.Textbox(
+                        label="Draft model path (speculative decoding; empty = off)"
+                    )
+                    sv_gamma = gr.Slider(
+                        1, 8, value=4, step=1, label="Speculative γ (tokens/round)"
+                    )
+                sv_save_btn = gr.Button("Save serving config", variant="primary")
+                sv_status = gr.Markdown("")
+
+            def do_load_serving(ctx, model_id):
+                d = cb.model_serving_details(ctx.state, model_id)
+                if not d:
+                    return gr.update(), gr.update(), gr.update(), gr.update(), "❌ Model not found."
+                return (
+                    d["quantization"], d["parallelism"], d["draft_model_path"],
+                    d["speculative_gamma"], "",
+                )
+
+            def do_save_serving(ctx, model_id, quant, parallel, draft, gamma):
+                return cb.set_model_serving(
+                    ctx.state, model_id, quant, parallel, draft, int(gamma)
+                )
+
+            sv_load_btn.click(
+                do_load_serving, [session, sv_id],
+                [sv_quant, sv_parallel, sv_draft, sv_gamma, sv_status],
+            )
+            sv_save_btn.click(
+                do_save_serving,
+                [session, sv_id, sv_quant, sv_parallel, sv_draft, sv_gamma],
+                [sv_status],
+            )
+
         # ------------------------------------------------------------------
         # Tab 4: Training
         # ------------------------------------------------------------------
@@ -414,37 +463,115 @@ def _build_app(multi_user: bool = False):
         # Tab 5: Library
         # ------------------------------------------------------------------
         with gr.Tab("Library"):
+            # Parity with the reference Library tab
+            # (src/rho_tts/ui/app.py:725-865): model/voice filter dropdowns,
+            # text search, table-row selection (no typed record id),
+            # playback + full-transcript pane, Re-generate, Delete, Clear All.
             with gr.Row():
+                lib_model_dd = gr.Dropdown(
+                    label="Filter by Model", choices=[], interactive=True
+                )
+                lib_voice_dd = gr.Dropdown(
+                    label="Filter by Voice", choices=[], interactive=True
+                )
                 lib_search = gr.Textbox(label="Search text")
-                lib_refresh = gr.Button("Refresh")
+                lib_refresh = gr.Button("Apply Filters")
             lib_df = gr.Dataframe(
                 headers=["id", "when", "text", "voice", "model", "duration"],
                 interactive=False,
             )
             with gr.Row():
-                lib_id = gr.Textbox(label="Record id")
-                lib_play_btn = gr.Button("Play")
-                lib_del_btn = gr.Button("Delete")
-            lib_audio = gr.Audio(label="Playback", interactive=False)
-            lib_status = gr.Markdown("")
+                lib_audio = gr.Audio(label="Playback", interactive=False)
+                lib_transcript = gr.Textbox(
+                    label="Full Transcript", lines=4, interactive=False
+                )
+            with gr.Row():
+                lib_regen_btn = gr.Button("Re-generate")
+                lib_del_btn = gr.Button("Delete Selected", variant="stop")
+                lib_clear_btn = gr.Button("Clear All History", variant="stop")
+                lib_status = gr.Markdown("")
+            lib_selected = gr.State(value=None)
 
-            def do_library(ctx, search):
-                return cb.library_rows(ctx.state, search)
+            def do_library(ctx, search, voice_f, model_f):
+                return cb.library_rows(
+                    ctx.state, search, voice_f or None, model_f or None
+                )
 
-            def do_play(ctx, record_id):
-                path, msg = cb.replay_record(ctx.state, record_id)
-                return path, msg
+            def lib_filter_choices(ctx):
+                return (
+                    gr.Dropdown(choices=cb.library_model_choices(ctx.state)),
+                    gr.Dropdown(choices=cb.library_voice_choices(ctx.state)),
+                )
 
-            def do_del_record(ctx, record_id):
-                msg = cb.delete_record(ctx.state, record_id)
-                return cb.library_rows(ctx.state, ""), msg
+            def do_select(ctx, rows, evt: gr.SelectData):
+                data = rows.values.tolist() if hasattr(rows, "values") else rows
+                idx = evt.index[0] if isinstance(evt.index, (list, tuple)) else evt.index
+                if not data or idx is None or idx < 0 or idx >= len(data):
+                    return None, "", None
+                record_id = data[idx][0]  # id is the first column
+                path, text = cb.library_get_audio(ctx.state, record_id)
+                return path, text, record_id
 
-            lib_refresh.click(do_library, [session, lib_search], [lib_df])
-            lib_play_btn.click(do_play, [session, lib_id], [lib_audio, lib_status])
-            lib_del_btn.click(do_del_record, [session, lib_id], [lib_df, lib_status])
+            def do_del_record(ctx, record_id, search, voice_f, model_f):
+                if not record_id:
+                    msg = "❌ Select a row first."
+                else:
+                    msg = cb.delete_record(ctx.state, record_id)
+                table = do_library(ctx, search, voice_f, model_f)
+                m_dd, v_dd = lib_filter_choices(ctx)
+                return table, msg, None, None, "", m_dd, v_dd
+
+            def do_clear_history(ctx, search, voice_f, model_f):
+                msg = cb.clear_history(ctx.state)
+                m_dd, v_dd = lib_filter_choices(ctx)
+                return [], msg, None, None, "", m_dd, v_dd
+
+            def do_regenerate(ctx, record_id):
+                """Load the selected record into the Generate tab."""
+                if not record_id:
+                    return gr.skip(), gr.skip(), gr.skip(), "❌ Select a row first."
+                record = ctx.state.get_record(record_id)
+                if record is None:
+                    return gr.skip(), gr.skip(), gr.skip(), "❌ Record not found."
+                if ctx.state.config.get_model(record.model_id) is None:
+                    return (
+                        gr.skip(), gr.skip(), gr.skip(),
+                        "❌ That record's model no longer exists.",
+                    )
+                return (
+                    gr.Dropdown(value=record.model_id),
+                    gr.Dropdown(value=record.voice_id),
+                    record.text,
+                    "✅ Loaded into the Generate tab.",
+                )
+
+            lib_refresh.click(
+                do_library, [session, lib_search, lib_voice_dd, lib_model_dd], [lib_df]
+            )
+            lib_df.select(
+                do_select, [session, lib_df], [lib_audio, lib_transcript, lib_selected]
+            )
+            lib_del_btn.click(
+                do_del_record,
+                [session, lib_selected, lib_search, lib_voice_dd, lib_model_dd],
+                [lib_df, lib_status, lib_selected, lib_audio, lib_transcript,
+                 lib_model_dd, lib_voice_dd],
+            )
+            lib_clear_btn.click(
+                do_clear_history,
+                [session, lib_search, lib_voice_dd, lib_model_dd],
+                [lib_df, lib_status, lib_selected, lib_audio, lib_transcript,
+                 lib_model_dd, lib_voice_dd],
+            )
+            lib_regen_btn.click(
+                do_regenerate,
+                [session, lib_selected],
+                [model_dd, voice_dd, text_in, lib_status],
+            )
 
         # Hydrate dropdowns when the app loads
         app.load(refresh_generate_tab, [session], [model_dd, voice_dd])
+        app.load(lib_filter_choices, [session], [lib_model_dd, lib_voice_dd])
 
     return app
 

@@ -369,6 +369,55 @@ def delete_model(state: AppState, model_id: str) -> str:
     return f"✅ Model '{model.label}' deleted."
 
 
+def model_serving_details(state: AppState, model_id: str) -> Optional[Dict]:
+    """Current TPU serving knobs for a model (defaults when unset)."""
+    m = state.config.get_model(model_id)
+    if m is None:
+        return None
+    p = m.default_params or {}
+    return {
+        "quantization": p.get("quantization") or "int8",
+        "parallelism": p.get("parallelism") or "none",
+        "draft_model_path": p.get("draft_model_path") or "",
+        "speculative_gamma": int(p.get("speculative_gamma", 4)),
+    }
+
+
+def set_model_serving(
+    state: AppState,
+    model_id: str,
+    quantization: str,
+    parallelism: str,
+    draft_model_path: str = "",
+    speculative_gamma: int = 4,
+) -> str:
+    """Persist per-model TPU serving knobs (quantization / DP-TP / draft).
+
+    The TPU-native analogue of the reference's device dropdown
+    (``src/rho_tts/ui/app.py:73-85``): instead of cuda/cpu placement, the
+    deployment-relevant choices here are weight precision (bf16/int8/int4),
+    mesh parallelism for multi-chip serving, and a draft model for
+    speculative decoding. Stored in ``default_params`` so they flow through
+    ``AppState.build_tts_kwargs`` into the provider constructor.
+    """
+    m = state.config.get_model(model_id)
+    if m is None:
+        return "❌ Select a model first."
+    if quantization not in ("bf16", "int8", "int4"):
+        return f"❌ Unknown quantization: {quantization!r}"
+    if parallelism not in ("none", "data", "tensor"):
+        return f"❌ Unknown parallelism mode: {parallelism!r}"
+    p = dict(m.default_params or {})
+    p["quantization"] = quantization
+    p["parallelism"] = parallelism
+    p["draft_model_path"] = (draft_model_path or "").strip()
+    p["speculative_gamma"] = int(speculative_gamma)
+    m.default_params = p
+    state.save()
+    state.invalidate_tts()
+    return f"✅ Serving config for '{m.label}' saved."
+
+
 def download_model(model_path: str) -> str:
     """Prefetch a model from the HuggingFace Hub into the local cache."""
     if cfgmod.is_model_cached(model_path):
@@ -389,16 +438,47 @@ def download_model(model_path: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def library_model_choices(state: AppState) -> List:
+    """Models present in history as (label, id) choices; '' = all.
+
+    Parity: reference ``src/rho_tts/ui/app.py:728-737``.
+    """
+    seen = {}
+    for r in state.history:
+        if r.model_id not in seen:
+            model = state.config.get_model(r.model_id)
+            seen[r.model_id] = model.label if model else r.model_id
+    return [("All models", "")] + [(label, mid) for mid, label in seen.items()]
+
+
+def library_voice_choices(state: AppState) -> List:
+    """Voices present in history as (label, id) choices; '' = all.
+
+    Parity: reference ``src/rho_tts/ui/app.py:734-745``.
+    """
+    seen = {}
+    for r in state.history:
+        if r.voice_id not in seen:
+            voice = state.config.get_voice(r.voice_id)
+            seen[r.voice_id] = voice.name if voice else r.voice_id
+    return [("All voices", "")] + [(name, vid) for vid, name in seen.items()]
+
+
 def library_rows(
-    state: AppState, search: str = "", voice_filter: Optional[str] = None
+    state: AppState,
+    search: str = "",
+    voice_filter: Optional[str] = None,
+    model_filter: Optional[str] = None,
 ) -> List[List[str]]:
-    """History as table rows (newest first), filtered by text / voice."""
+    """History as table rows (newest first), filtered by text/voice/model."""
     rows = []
     needle = (search or "").lower()
     for r in sorted(state.history, key=lambda r: r.timestamp, reverse=True):
         if needle and needle not in r.text.lower():
             continue
         if voice_filter and r.voice_id != voice_filter:
+            continue
+        if model_filter and r.model_id != model_filter:
             continue
         voice = state.config.get_voice(r.voice_id)
         model = state.config.get_model(r.model_id)
@@ -424,6 +504,23 @@ def replay_record(state: AppState, record_id: str) -> Tuple[Optional[str], str]:
     return record.output_path, f"▶ {record.text[:60]}"
 
 
+def library_get_audio(
+    state: AppState, record_id: str
+) -> Tuple[Optional[str], str]:
+    """(playable path or None, full transcript) for a selected row.
+
+    Parity: reference ``src/rho_tts/ui/app.py:784-799`` (row select loads
+    playback + the full transcript pane).
+    """
+    record = state.get_record(record_id)
+    if record is None:
+        return None, ""
+    path = record.output_path
+    if not path or not os.path.exists(path):
+        path = None
+    return path, record.text
+
+
 def delete_record(state: AppState, record_id: str) -> str:
     record = state.get_record(record_id)
     if record is None:
@@ -435,6 +532,21 @@ def delete_record(state: AppState, record_id: str) -> str:
             pass
     state.delete_record(record_id)
     return "✅ Record deleted."
+
+
+def clear_history(state: AppState) -> str:
+    """Delete every history record (and its audio files).
+
+    Parity: reference ``src/rho_tts/ui/app.py:829-841``.
+    """
+    for r in list(state.history):
+        if r.output_path and os.path.exists(r.output_path):
+            try:
+                os.remove(r.output_path)
+            except OSError:
+                pass
+    n = state.clear_history()
+    return f"✅ Cleared {n} record(s)." if n else "History already empty."
 
 
 # ---------------------------------------------------------------------------

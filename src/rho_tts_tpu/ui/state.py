@@ -23,7 +23,11 @@ logger = logging.getLogger(__name__)
 # Constructor kwargs only ChatterboxTTS understands
 _CHATTERBOX_ONLY_PARAMS = {"implementation", "temperature", "cfg_weight"}
 # Constructor kwargs only QwenTTS understands
-_QWEN_ONLY_PARAMS = {"speaker", "language", "batch_size", "sound_decay_threshold"}
+_QWEN_ONLY_PARAMS = {
+    "speaker", "language", "batch_size", "sound_decay_threshold",
+    # TPU serving knobs (quantization is shared with chatterbox)
+    "parallelism", "n_devices", "draft_model_path", "speculative_gamma",
+}
 
 
 class AppState:
@@ -76,6 +80,14 @@ class AppState:
         mapping = self.config.get_phonetic_mapping(voice.id, model.id)
         if mapping:
             kwargs["phonetic_mapping"] = dict(mapping)
+
+        # Normalize UI serving-knob sentinels to constructor values
+        if kwargs.get("quantization") in ("", "bf16", "none"):
+            kwargs["quantization"] = None
+        if kwargs.get("parallelism") in ("", "none"):
+            kwargs["parallelism"] = None
+        if not kwargs.get("draft_model_path"):
+            kwargs.pop("draft_model_path", None)
         return kwargs
 
     def get_or_create_tts(self, model: ModelConfig, voice: VoiceProfile):
@@ -136,6 +148,18 @@ class AppState:
 
     def get_record(self, record_id: str) -> Optional[GenerationRecord]:
         return next((r for r in self.history if r.id == record_id), None)
+
+    def clear_history(self) -> int:
+        """Delete every history record; returns how many were removed.
+
+        Parity: the Library tab's "Clear All History"
+        (reference ``src/rho_tts/ui/app.py:766,829-841``).
+        """
+        n = len(self.history)
+        self._history = []
+        if n:
+            self.save_history()
+        return n
 
     # -- Cancellation ----------------------------------------------------------
 

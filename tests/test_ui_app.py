@@ -19,12 +19,23 @@ class _Component:
         self.kwargs = kwargs
         self.events = []
 
+    _registry = []
+
+    def __new__(cls, *args, **kwargs):
+        inst = super().__new__(cls)
+        _Component._registry.append(inst)
+        return inst
+
     def click(self, fn, inputs=None, outputs=None, **kw):
         self.events.append(("click", fn, inputs, outputs))
         return self
 
     def change(self, fn, inputs=None, outputs=None, **kw):
         self.events.append(("change", fn, inputs, outputs))
+        return self
+
+    def select(self, fn, inputs=None, outputs=None, **kw):
+        self.events.append(("select", fn, inputs, outputs))
         return self
 
     def __enter__(self):
@@ -76,6 +87,14 @@ def _make_fake_gradio():
     ):
         setattr(gr, name, type(name, (_Component,), {}))
     gr.update = lambda **kw: dict(kw)
+    gr.skip = lambda: None
+
+    class _SelectData:
+        def __init__(self, index=(0, 0)):
+            self.index = index
+
+    gr.SelectData = _SelectData
+    _Component._registry.clear()
     return gr
 
 
@@ -93,8 +112,8 @@ def test_build_app_constructs_five_tabs(fake_gradio):
     app = _build_app(multi_user=False)
     assert isinstance(app, _Blocks)
     assert app.tabs == ["Generate", "Voices", "Models", "Training", "Library"]
-    # Load-time hydration is wired
-    assert len(app.load_events) == 1
+    # Load-time hydration is wired (generate dropdowns + library filters)
+    assert len(app.load_events) == 2
 
 
 def test_load_callback_hydrates_dropdowns(fake_gradio):
@@ -137,3 +156,112 @@ def test_events_are_wired(fake_gradio):
     fn, inputs, outputs = built.load_events[0]
     ctx = inputs[0].kwargs["value"]()
     fn(ctx)  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# Library tab (reference parity: src/rho_tts/ui/app.py:725-865)
+# ---------------------------------------------------------------------------
+
+
+def _find_event(name, kind=None):
+    for comp in _Component._registry:
+        for ev_kind, fn, inputs, outputs in comp.events:
+            if fn.__name__ == name and (kind is None or ev_kind == kind):
+                return fn
+    raise AssertionError(f"event handler {name!r} not wired")
+
+
+def _session_with_history(app, tmp_path):
+    from rho_tts_tpu.ui.config import GenerationRecord
+
+    ctx = app.load_events[0][1][0].kwargs["value"]()
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"RIFF0000WAVE")
+    ctx.state.add_record(GenerationRecord(
+        id="rec1", text="hello world", voice_id="v1", model_id="m1",
+        output_path=str(wav), timestamp=100.0, duration_sec=1.5,
+    ))
+    ctx.state.add_record(GenerationRecord(
+        id="rec2", text="second item", voice_id="v2", model_id="m1",
+        output_path=None, timestamp=200.0, duration_sec=2.0,
+    ))
+    return ctx
+
+
+def test_library_row_select_loads_audio_and_transcript(fake_gradio, tmp_path):
+    from rho_tts_tpu.ui.app import _build_app
+
+    app = _build_app(multi_user=True)
+    ctx = _session_with_history(app, tmp_path)
+    do_library = _find_event("do_library")
+    rows = do_library(ctx, "", None, None)
+    assert len(rows) == 2 and rows[0][0] == "rec2"  # newest first
+
+    do_select = _find_event("do_select", "select")
+    path, text, rid = do_select(ctx, rows, fake_gradio.SelectData(index=(1, 0)))
+    assert rid == "rec1" and text == "hello world" and path and path.endswith("a.wav")
+    # missing audio file -> no path but transcript still shows
+    path2, text2, rid2 = do_select(ctx, rows, fake_gradio.SelectData(index=(0, 0)))
+    assert rid2 == "rec2" and path2 is None and text2 == "second item"
+
+
+def test_library_filters_by_model_voice_text(fake_gradio, tmp_path):
+    from rho_tts_tpu.ui.app import _build_app
+
+    app = _build_app(multi_user=True)
+    ctx = _session_with_history(app, tmp_path)
+    do_library = _find_event("do_library")
+    assert len(do_library(ctx, "", "v1", None)) == 1
+    assert len(do_library(ctx, "", None, "m1")) == 2
+    assert len(do_library(ctx, "second", None, None)) == 1
+    assert len(do_library(ctx, "", "v1", "nope")) == 0
+
+    # filter dropdown choices come from history
+    lib_choices = app.load_events[1][0]
+    m_dd, v_dd = lib_choices(ctx)
+    assert any(c[1] == "m1" for c in m_dd.kwargs["choices"])
+    assert any(c[1] == "v2" for c in v_dd.kwargs["choices"])
+
+
+def test_library_delete_selected_and_clear_all(fake_gradio, tmp_path):
+    from rho_tts_tpu.ui.app import _build_app
+
+    app = _build_app(multi_user=True)
+    ctx = _session_with_history(app, tmp_path)
+    do_del = _find_event("do_del_record")
+    out = do_del(ctx, "rec1", "", None, None)
+    assert "✅" in out[1]
+    assert len(ctx.state.history) == 1
+
+    out = do_del(ctx, None, "", None, None)
+    assert "❌" in out[1]
+
+    do_clear = _find_event("do_clear_history")
+    out = do_clear(ctx, "", None, None)
+    assert "✅" in out[1] or "empty" in out[1]
+    assert ctx.state.history == []
+
+
+def test_library_regenerate_loads_generate_tab(fake_gradio, tmp_path):
+    from rho_tts_tpu.ui.app import _build_app
+    from rho_tts_tpu.ui.config import ModelConfig
+
+    app = _build_app(multi_user=True)
+    ctx = _session_with_history(app, tmp_path)
+    ctx.state.config.models.append(ModelConfig(
+        id="m1", provider="qwen", model_path="tiny", label="Tiny"
+    ))
+    do_regen = _find_event("do_regenerate")
+    model_upd, voice_upd, text, status = do_regen(ctx, "rec1")
+    assert model_upd.kwargs["value"] == "m1"
+    assert voice_upd.kwargs["value"] == "v1"
+    assert text == "hello world"
+    assert "✅" in status
+
+    # unknown model -> error status, generate tab untouched
+    ctx.state.config.models = [
+        m for m in ctx.state.config.models if m.id != "m1"
+    ]
+    *_, status = do_regen(ctx, "rec1")
+    assert "❌" in status
+    assert do_regen(ctx, None)[-1].startswith("❌")

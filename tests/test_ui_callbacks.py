@@ -333,3 +333,38 @@ class TestEditModel:
 
     def test_edit_missing_model(self, state):
         assert "❌" in cb.edit_model(state, "model-nope")
+
+
+class TestModelServingConfig:
+    """Per-model TPU serving knobs (quantization / DP-TP / draft model)."""
+
+    def _state(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("RHO_TTS_TPU_CONFIG", str(tmp_path / "c.json"))
+        monkeypatch.setenv("RHO_TTS_TPU_HISTORY", str(tmp_path / "h.json"))
+        state = AppState(AppConfig(voices=[], models=[]))
+        m, msg = cb.add_model(state, "Tiny", "qwen", "Qwen/Tiny-CustomVoice")
+        assert m is not None
+        return state, m
+
+    def test_defaults_and_roundtrip(self, tmp_path, monkeypatch):
+        state, m = self._state(tmp_path, monkeypatch)
+        d = cb.model_serving_details(state, m.id)
+        assert d == {"quantization": "int8", "parallelism": "none",
+                     "draft_model_path": "", "speculative_gamma": 4}
+        msg = cb.set_model_serving(state, m.id, "int4", "tensor", "tiny-draft", 6)
+        assert msg.startswith("✅")
+        d = cb.model_serving_details(state, m.id)
+        assert d["quantization"] == "int4"
+        assert d["parallelism"] == "tensor"
+        assert d["draft_model_path"] == "tiny-draft"
+        assert d["speculative_gamma"] == 6
+
+    def test_rejects_bad_values(self, tmp_path, monkeypatch):
+        state, m = self._state(tmp_path, monkeypatch)
+        assert cb.set_model_serving(state, m.id, "fp8", "none").startswith("❌")
+        assert cb.set_model_serving(state, m.id, "int8", "pipeline").startswith("❌")
+        assert cb.set_model_serving(state, "nope", "int8", "none").startswith("❌")
+
+    def test_missing_model_details(self, tmp_path, monkeypatch):
+        state, _ = self._state(tmp_path, monkeypatch)
+        assert cb.model_serving_details(state, "nope") is None

@@ -132,3 +132,50 @@ class TestCancellation:
 
     def test_cancel_without_token_is_noop(self, state):
         state.cancel_generation()  # must not raise
+
+
+class TestServingKnobs:
+    """TPU serving knobs flow from per-model config to constructor kwargs."""
+
+    def test_serving_params_normalized(self, state):
+        model = ModelConfig(
+            id="m-s", label="S", provider="qwen", model_path="Qwen/Tiny-CustomVoice",
+            default_params={
+                "quantization": "bf16", "parallelism": "none",
+                "draft_model_path": "", "speculative_gamma": 4,
+            },
+        )
+        voice = VoiceProfile(id="v-s", name="S", provider="qwen", speaker="Ryan")
+        kwargs = state.build_tts_kwargs(model, voice)
+        assert kwargs["quantization"] is None     # bf16 sentinel → dense
+        assert kwargs["parallelism"] is None      # none sentinel
+        assert "draft_model_path" not in kwargs   # empty → omitted
+
+    def test_serving_params_passthrough(self, state):
+        model = ModelConfig(
+            id="m-s2", label="S2", provider="qwen", model_path="Qwen/Tiny-CustomVoice",
+            default_params={
+                "quantization": "int4", "parallelism": "tensor",
+                "draft_model_path": "tiny-draft", "speculative_gamma": 6,
+            },
+        )
+        voice = VoiceProfile(id="v-s2", name="S2", provider="qwen", speaker="Aria")
+        kwargs = state.build_tts_kwargs(model, voice)
+        assert kwargs["quantization"] == "int4"
+        assert kwargs["parallelism"] == "tensor"
+        assert kwargs["draft_model_path"] == "tiny-draft"
+        assert kwargs["speculative_gamma"] == 6
+
+    def test_chatterbox_filters_serving_but_keeps_quant(self, state):
+        model = ModelConfig(
+            id="m-s3", label="S3", provider="chatterbox", model_path="chatterbox-standard",
+            default_params={"quantization": "int8", "parallelism": "tensor",
+                            "draft_model_path": "d", "speculative_gamma": 4},
+        )
+        voice = VoiceProfile(id="v-s3", name="S3", provider="chatterbox",
+                             reference_audio="/r.wav")
+        kwargs = state.build_tts_kwargs(model, voice)
+        assert kwargs["quantization"] == "int8"
+        assert "parallelism" not in kwargs
+        assert "draft_model_path" not in kwargs
+        assert "speculative_gamma" not in kwargs
