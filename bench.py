@@ -172,6 +172,37 @@ def bench_pipeline():
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
     full = os.environ.get("BENCH_FULL", "0") == "1"
+    # BENCH_REJECT_RATE > 0 prices the retry path (BASELINE.md row 5r): the
+    # first drift round of each generate() runs its FULL compute, then a
+    # deterministic fraction of segments is forcibly failed so the measured
+    # figure includes regeneration + revalidation — the reference's actual
+    # hot loop (/root/reference/src/rho_tts/base_tts.py:770-898).
+    reject_rate = float(os.environ.get("BENCH_REJECT_RATE", "0"))
+
+    provider_cls = QwenTTS
+    if full and reject_rate > 0:
+
+        class RejectingQwenTTS(QwenTTS):
+            _bench_drift_round = 0
+            _bench_rejected = 0
+
+            def generate(self, *a, **kw):
+                self._bench_drift_round = 0
+                return super().generate(*a, **kw)
+
+            def _validate_accent_drift_batch(self, audios, sample_rate):
+                out = super()._validate_accent_drift_batch(audios, sample_rate)
+                self._bench_drift_round += 1
+                if self._bench_drift_round == 1:
+                    k = max(1, round(len(out) * reject_rate))
+                    self._bench_rejected += k
+                    out = [
+                        (p, False) if i < k else (p, ok)
+                        for i, (p, ok) in enumerate(out)
+                    ]
+                return out
+
+        provider_cls = RejectingQwenTTS
 
     if full:
         os.environ["RHO_TTS_TPU_STT_ALLOW_RANDOM"] = "1"
@@ -181,7 +212,7 @@ def bench_pipeline():
 
         rt = np.arange(24000 * 3) / 24000
         save_wav(ref, (0.35 * np.sin(2 * np.pi * 200 * rt)).astype(np.float32), 24000)
-        tts = QwenTTS(
+        tts = provider_cls(
             model_path=f"{preset}-Base",
             reference_audio=ref,
             reference_text="A reference voice sample for cloning.",
@@ -227,9 +258,14 @@ def bench_pipeline():
     rtf = audio_sec / wall if wall > 0 else 0.0
     log(f"pipeline: {segs} validated segment(s), {audio_sec:.1f} s audio in {wall:.1f} s"
         f" → RTF {rtf:.1f}, {segs / wall * 60:.0f} seg/min")
+    if reject_rate > 0:
+        log(f"  forced rejections: {getattr(tts, '_bench_rejected', 0)} segment(s)"
+            f" across all runs (rate {reject_rate})")
     for name, st in profiling.summary().items():
         log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
     suffix = "_full_validation" if full else ""
+    if reject_rate > 0:
+        suffix += f"_reject{int(reject_rate * 100)}"
     print(json.dumps({
         "metric": f"qwen_{preset}_pipeline{suffix}_rtf_per_chip",
         "value": round(rtf, 2),
@@ -287,6 +323,82 @@ def bench_spec():
     }))
 
 
+def bench_spec_distill():
+    """Realized speculative speedup with a DISTILLED draft (BASELINE 5s).
+
+    Unlike bench_spec (cost mechanics with random weights, ~0 acceptance),
+    this measures the end-to-end story: distill the "draft" preset toward
+    the "small" preset's sampler distribution (models.qwen.distill), then
+    compare single-stream decode wall with speculation on vs off at a REAL
+    acceptance rate.
+    """
+    import logging
+
+    import jax
+    import numpy as np
+
+    from rho_tts_tpu.models.qwen import QwenTTSModel
+    from rho_tts_tpu.models.qwen.config import PRESETS
+    from rho_tts_tpu.models.qwen.distill import distill_draft
+    from rho_tts_tpu.models.qwen.speculative import speculative_generate_codes
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    gammas = [int(g) for g in os.environ.get("BENCH_SPEC_GAMMA", "3,4,6").split(",")]
+    steps = int(os.environ.get("BENCH_DISTILL_STEPS", "600"))
+    frames = int(os.environ.get("BENCH_SPEC_FRAMES", "256"))
+
+    target = QwenTTSModel(PRESETS["small"], seed=0)
+    draft = QwenTTSModel(PRESETS["draft"], seed=1)
+
+    t0 = time.time()
+    stats_d = distill_draft(target, draft, steps=steps, learning_rate=2e-3)
+    log(f"distilled draft in {time.time() - t0:.0f}s: loss {stats_d['loss']:.3f}, "
+        f"acceptance-overlap {stats_d['overlap']:.3f}")
+
+    text = "A speculative decoding demonstration sentence."
+    base_kw = dict(speaker="Vivian", min_frames=frames, max_frames=frames)
+    target.generate_codes([text], rng=jax.random.PRNGKey(0), **base_kw)
+    walls = []
+    for i in range(3):  # median of 3: relay RTT varies run to run
+        t0 = time.time()
+        base = target.generate_codes([text], rng=jax.random.PRNGKey(1 + i),
+                                     **base_kw)
+        walls.append(time.time() - t0)
+    per_tok_base = sorted(walls)[1] / base[0].shape[0]
+
+    best = None
+    for gamma in gammas:
+        kw = dict(speaker="Vivian", max_frames=frames, min_frames=frames,
+                  gamma=gamma)
+        speculative_generate_codes(target, draft, text,
+                                   rng=jax.random.PRNGKey(0), **kw)
+        runs = []
+        for i in range(3):
+            t0 = time.time()
+            codes, stats = speculative_generate_codes(
+                target, draft, text, rng=jax.random.PRNGKey(1 + i), **kw
+            )
+            runs.append((time.time() - t0, stats))
+        runs.sort(key=lambda r: r[0])
+        spec_wall, stats = runs[1]
+        per_tok_spec = spec_wall / max(stats["emitted"], 1)
+        speedup = per_tok_base / per_tok_spec
+        log(f"spec γ={gamma}: {stats['emitted']} tokens in {stats['rounds']} "
+            f"rounds ({stats['tokens_per_round']:.2f} tok/round realized) — "
+            f"{per_tok_spec * 1000:.2f} ms/tok vs {per_tok_base * 1000:.2f} "
+            f"ms/tok sequential → {speedup:.2f}x single-stream")
+        if best is None or speedup > best[1]:
+            best = (gamma, speedup, stats["tokens_per_round"])
+
+    gamma, speedup, tpr = best
+    print(json.dumps({
+        "metric": f"speculative_distilled_speedup_gamma{gamma}",
+        "value": round(speedup, 2),
+        "unit": "x",
+        "vs_baseline": round(tpr, 2),
+    }))
+
+
 def bench_ttfa():
     """Time-to-first-audio: chunked streaming vs full-utterance synthesis."""
     import jax
@@ -324,6 +436,99 @@ def bench_ttfa():
         "value": round(ttfa, 2),
         "unit": "s",
         "vs_baseline": round(full_total / ttfa, 2),
+    }))
+
+
+def _host_random_params(cfg, quant):
+    """Full-size synthetic parameter tree built entirely host-side.
+
+    No device involvement: fetching a device-initialized 1.7B tree back
+    through the relay's ~MB/s device→host link would take hours, so the
+    synthetic serving checkpoint is authored on host (numpy) and quantized
+    host-side — exactly what an offline HF→native conversion would do.
+    """
+    import jax
+    import numpy as np
+
+    from rho_tts_tpu.models.quantization import QUANT_KEYS, quantize_host
+    from rho_tts_tpu.models.qwen.model import init_params
+
+    shapes = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def fill(sd):
+        return (rng.standard_normal(sd.shape).astype(np.float32) * 0.02).astype(sd.dtype)
+
+    params = jax.tree.map(fill, shapes)
+    if quant in ("int8", "int4"):
+        blocks = params["talker"]["blocks"]
+        for name in QUANT_KEYS:
+            if name in blocks:
+                blocks[name] = quantize_host(blocks[name], quant)
+    return params
+
+
+def bench_coldstart():
+    """Time-to-ready: native pre-quantized checkpoint → ready → first audio.
+
+    Builds a full-size synthetic serving checkpoint once (host-side; the
+    values are random but the byte volume is exact), then measures the
+    serving path: orbax restore + one-tree device transfer ("ready"), and
+    the first synthesized utterance (compile + run, then steady-state).
+    """
+    import jax
+    import numpy as np
+
+    from rho_tts_tpu.models import checkpoint as ckpt_lib
+    from rho_tts_tpu.models.qwen import QwenTTSModel
+    from rho_tts_tpu.models.qwen.config import PRESETS
+
+    preset = os.environ.get("BENCH_PRESET", "1.7B")
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
+
+    ckpt_dir = f"/tmp/bench_ckpt_{preset}_{quant or 'bf16'}"
+    if not ckpt_lib.is_native_checkpoint(ckpt_dir):
+        t0 = time.time()
+        params = _host_random_params(PRESETS[preset], quant)
+        nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+        ckpt_lib.save_params(
+            ckpt_dir, params, family="qwen", preset=preset, quantization=quant
+        )
+        log(f"authored synthetic {nbytes / 1e9:.2f} GB checkpoint in "
+            f"{time.time() - t0:.1f}s → {ckpt_dir}")
+        del params
+
+    t0 = time.time()
+    model = QwenTTSModel.from_pretrained(ckpt_dir)
+    # Force EVERY leaf resident (one tiny probe program over all leaves —
+    # a single-leaf fetch would let other transfers still be in flight).
+    leaves = jax.tree.leaves(model.params)
+    probe = jax.jit(
+        lambda *ls: sum(l.ravel()[0].astype(jax.numpy.float32) for l in ls)
+    )
+    float(probe(*leaves))
+    ready = time.time() - t0
+    log(f"checkpoint → device-ready: {ready:.1f}s (quant={quant}, "
+        f"direct-to-device restore)")
+
+    text = "Cold start readiness check sentence."
+    kw = dict(speaker="Vivian", min_frames=64, max_frames=64)
+    t0 = time.time()
+    waves, sr = model.synthesize([text], rng=jax.random.PRNGKey(0), **kw)
+    np.asarray(waves[0])
+    first = time.time() - t0
+    t0 = time.time()
+    waves, sr = model.synthesize([text], rng=jax.random.PRNGKey(1), **kw)
+    np.asarray(waves[0])
+    steady = time.time() - t0
+    log(f"first audio: {first:.1f}s (compile+run; persistent XLA cache applies), "
+        f"steady repeat: {steady:.2f}s → time-to-first-audio {ready + first:.1f}s")
+    print(json.dumps({
+        "metric": f"coldstart_{preset}{'_' + quant if quant else ''}_ready_sec",
+        "value": round(ready, 2),
+        "unit": "s",
+        "vs_baseline": round(60.0 / ready, 2) if ready > 0 else 0.0,
     }))
 
 
@@ -396,6 +601,10 @@ def main():
         return bench_chatterbox()
     if mode == "spec":
         return bench_spec()
+    if mode == "spec_distill":
+        return bench_spec_distill()
+    if mode == "coldstart":
+        return bench_coldstart()
     if mode == "ttfa":
         return bench_ttfa()
 

@@ -263,6 +263,7 @@ class ChatterboxModel:
             params = {**params, "talker": quantize_stack(params["talker"], quantization)}
         elif quantization not in (None, "none"):
             raise ValueError(f"Unsupported quantization: {quantization}")
+        self.quantization = quantization
         self.params = params
         self._speaker_encoder = None
         self.conditionals: Optional[np.ndarray] = None  # active speaker embedding
@@ -284,6 +285,29 @@ class ChatterboxModel:
         checkpoint this falls back to deterministic random init (the
         compiled decode path is identical either way).
         """
+        import os
+
+        from .. import checkpoint as ckpt_lib
+
+        if model_path and os.path.isdir(str(model_path)) and ckpt_lib.is_native_checkpoint(model_path):
+            from jax.sharding import SingleDeviceSharding
+
+            params, manifest = ckpt_lib.load_params(
+                model_path, family="chatterbox",
+                sharding=SingleDeviceSharding(jax.devices()[0]),
+            )
+            cfg = PRESETS.get(manifest.get("preset", implementation), PRESETS["standard"])
+            saved_quant = manifest.get("quantization")
+            if quantization not in (None, "none") and saved_quant not in (None, quantization):
+                raise ValueError(
+                    f"Checkpoint at {model_path} was exported with "
+                    f"quantization={saved_quant!r}; cannot serve as {quantization!r}"
+                )
+            return cls(
+                cfg, params=params, seed=seed,
+                quantization=quantization or saved_quant, model_path=model_path,
+            )
+
         cfg = PRESETS.get(implementation, PRESETS["standard"])
         params = None
         if model_path:
@@ -296,6 +320,20 @@ class ChatterboxModel:
         return cls(
             cfg, params=params, seed=seed, quantization=quantization,
             model_path=model_path,
+        )
+
+    def save_checkpoint(self, path: str) -> None:
+        """Export the parameter tree as a native serving checkpoint
+        (pre-quantized when the model is quantized — see
+        ``models.checkpoint`` for the export-once/serve-many rationale)."""
+        from .. import checkpoint as ckpt_lib
+
+        preset = next(
+            (k for k, v in PRESETS.items() if v is self.cfg), "standard"
+        )
+        ckpt_lib.save_params(
+            path, self.params, family="chatterbox", preset=preset,
+            quantization=self.quantization,
         )
 
     @property

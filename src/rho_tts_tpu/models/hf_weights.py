@@ -112,9 +112,25 @@ def map_llama_blocks(
     called once per tensor that lands (for match accounting).
 
     ``tensors`` must already be scoped to ONE transformer stack.
+
+    Two-pass so the fallback tree is only read when needed: checkpoint
+    rows are collected first, and a stacked leaf is rebuilt purely from
+    them when every layer matched. Only a partially-matched leaf pulls the
+    existing (possibly device-resident) array back to host — on relay
+    backends with ~MB/s device→host links that fetch is the cold-start
+    killer, and a complete checkpoint never pays it.
     """
-    # np.array (not asarray): jax arrays convert to read-only views
-    new_blocks = {k: np.array(v) for k, v in blocks.items()}
+    collected: Dict[str, Dict[int, np.ndarray]] = {}
+
+    def land(name: str, layer: int, value: np.ndarray) -> None:
+        want = tuple(np.shape(blocks[name])[1:])
+        if value.shape != want:
+            logger.warning("Layer %d %s shape %s != %s", layer, name,
+                           value.shape, want)
+            return
+        collected.setdefault(name, {})[layer] = value
+        count()
+
     for layer in range(n_layers):
         g = lambda *names: layer_tensor(tensors, layer, *names)  # noqa: E731
         q, k, v, o = (g(f"{n}_proj.weight") for n in ("q", "k", "v", "o"))
@@ -123,22 +139,26 @@ def map_llama_blocks(
         ln2 = g("post_attention_layernorm.weight")
         if q is None or k is None or v is None:
             continue
-        wqkv = np.concatenate([q.T, k.T, v.T], axis=1)
-        if wqkv.shape == tuple(new_blocks["wqkv"][layer].shape):
-            new_blocks["wqkv"][layer] = wqkv
-            count()
-        else:
-            logger.warning("Layer %d wqkv shape %s != %s", layer, wqkv.shape,
-                           new_blocks["wqkv"][layer].shape)
-        if o is not None and o.T.shape == tuple(new_blocks["wo"][layer].shape):
-            new_blocks["wo"][layer] = o.T
-            count()
+        land("wqkv", layer, np.concatenate([q.T, k.T, v.T], axis=1))
+        if o is not None:
+            land("wo", layer, o.T)
         for name, t in (("w_gate", gate), ("w_up", up), ("w_down", down)):
-            if t is not None and t.T.shape == tuple(new_blocks[name][layer].shape):
-                new_blocks[name][layer] = t.T
-                count()
+            if t is not None:
+                land(name, layer, t.T)
         for name, t in (("attn_norm", ln1), ("mlp_norm", ln2)):
-            if t is not None and t.shape == tuple(new_blocks[name][layer].shape):
-                new_blocks[name][layer] = t
-                count()
+            if t is not None:
+                land(name, layer, t)
+
+    new_blocks: Dict[str, Any] = {}
+    for name, base in blocks.items():
+        got = collected.get(name, {})
+        if len(got) == n_layers:
+            new_blocks[name] = np.stack([got[i] for i in range(n_layers)])
+        elif got:
+            patched = np.array(base)  # partial match: fetch fallback rows
+            for i, t in got.items():
+                patched[i] = t
+            new_blocks[name] = patched
+        else:
+            new_blocks[name] = base  # untouched — may stay on device
     return new_blocks

@@ -30,6 +30,36 @@ def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": scale.squeeze(-2).astype(jnp.float32)}
 
 
+def quantize_host(w, mode: str = "int8") -> Dict[str, "jnp.ndarray"]:
+    """Host-side (numpy) quantization — same math as the device paths.
+
+    Used by checkpoint loaders so the host→device transfer moves the
+    quantized bytes (half of bf16 for int8, a quarter for int4) instead of
+    shipping bf16 and quantizing on device. Rounding matches the jnp
+    versions (round-half-to-even), verified by tests.
+    """
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)
+    if mode == "int8":
+        scale = np.maximum(absmax, 1e-8) / 127.0
+        q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+        return {"q": q, "s": scale.squeeze(-2).astype(np.float32)}
+    if mode == "int4":
+        k = wf.shape[-2]
+        if k % 2:
+            raise ValueError(f"int4 packing needs even K, got {k}")
+        scale = np.maximum(absmax, 1e-8) / 7.0
+        q = np.clip(np.round(wf / scale), -7, 7).astype(np.int32)
+        lo = q[..., : k // 2, :] & 0xF
+        hi = q[..., k // 2 :, :] & 0xF
+        b = (hi << 4) | lo
+        packed = np.where(b > 127, b - 256, b).astype(np.int8)
+        return {"q4": packed, "s": scale.squeeze(-2).astype(np.float32)}
+    raise ValueError(f"Unknown quantization mode: {mode!r}")
+
+
 def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ w for dense or quantized ({"q","s"} int8 / {"q4","s"} int4) weights."""
     if isinstance(w, dict):

@@ -96,6 +96,39 @@ PRESETS = {
         talker=_talker(1024, 28, 16, 8, 3072, head_dim=128),
         text_vocab=152064,
     ),
+    # Mid-size pair for the speculative-decoding demo: "small" is big
+    # enough that a decode step has real compute/HBM cost, "draft" is
+    # ~30× cheaper — distilled (models.qwen.distill) it yields a measured
+    # end-to-end speculation speedup with realized acceptance
+    # (BASELINE.md 5s).
+    "small": QwenTTSConfig(
+        name="small",
+        talker=_talker(512, 8, 8, 4, 1536, head_dim=64),
+        codec=CodecConfig(
+            upsample_rates=(4, 2),
+            n_codebooks=2,
+            codebook_size=64,
+            codebook_dim=32,
+            decoder_channels=(32, 16, 8),
+            encoder_channels=(8, 16, 32),
+        ),
+        text_vocab=512,
+        max_position_embeddings=1024,
+    ),
+    "draft": QwenTTSConfig(
+        name="draft",
+        talker=_talker(128, 2, 4, 2, 384, head_dim=32),
+        codec=CodecConfig(
+            upsample_rates=(4, 2),
+            n_codebooks=2,
+            codebook_size=64,
+            codebook_dim=32,
+            decoder_channels=(32, 16, 8),
+            encoder_channels=(8, 16, 32),
+        ),
+        text_vocab=512,
+        max_position_embeddings=1024,
+    ),
     # Small configs for tests / CPU dry-runs
     "tiny": QwenTTSConfig(
         name="tiny",

@@ -112,6 +112,37 @@ def init_params(key, cfg: QwenTTSConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def prompt_embeds(
+    params: Params,
+    cfg: QwenTTSConfig,
+    ids_slotted,
+    text_mask,
+    codes_slotted,
+    code_mask,
+    spk_ids,
+    spk_mask,
+    attn_mask,
+) -> jnp.ndarray:
+    """Assemble the prompt embedding matrix from host-built index/mask
+    arrays (the [spk?][ref text][text][ref codes][BOS] layout of
+    ``_build_prompt_arrays``). Shared by the prefill program and the
+    teacher-forced distillation forward so both condition identically."""
+    dt = params["text_embed"].dtype
+    # Masks arrive as f32 — cast to the embedding dtype so the prefill
+    # stays bf16 (f32 products would upcast every layer's activations).
+    emb = params["text_embed"][ids_slotted] * text_mask[..., None].astype(dt)
+    for q in range(cfg.codec.n_codebooks):
+        emb = emb + params["audio_embed"][q][codes_slotted[..., q]] * code_mask[
+            ..., None
+        ].astype(dt)
+    emb = emb + params["speaker_embed"][spk_ids][:, None, :] * spk_mask[..., None].astype(dt)
+    bos_mask = attn_mask.astype(jnp.float32) - text_mask - code_mask - spk_mask
+    emb = emb + params["audio_embed"][0][cfg.audio_bos][None, None] * bos_mask[
+        ..., None
+    ].astype(dt)
+    return emb
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill(
     params: Params,
@@ -137,21 +168,11 @@ def _prefill(
     attn_mask set — encoded here via an explicit bos term derived from
     attn_mask minus the other masks.
     """
-    b, p = ids_slotted.shape
-    dt = params["text_embed"].dtype
-    # Masks arrive as f32 — cast to the embedding dtype so the prefill
-    # stays bf16 (f32 products would upcast every layer's activations).
-    emb = params["text_embed"][ids_slotted] * text_mask[..., None].astype(dt)
-    for q in range(cfg.codec.n_codebooks):
-        emb = emb + params["audio_embed"][q][codes_slotted[..., q]] * code_mask[
-            ..., None
-        ].astype(dt)
-    emb = emb + params["speaker_embed"][spk_ids][:, None, :] * spk_mask[..., None].astype(dt)
-    bos_mask = attn_mask.astype(jnp.float32) - text_mask - code_mask - spk_mask
-    emb = emb + params["audio_embed"][0][cfg.audio_bos][None, None] * bos_mask[
-        ..., None
-    ].astype(dt)
-    embeds = emb
+    p = ids_slotted.shape[1]
+    embeds = prompt_embeds(
+        params, cfg, ids_slotted, text_mask, codes_slotted, code_mask,
+        spk_ids, spk_mask, attn_mask,
+    )
     h, (ck, cv) = tfm.stack_forward(
         params["talker"],
         cfg.talker,
@@ -329,19 +350,58 @@ class QwenTTSModel:
     def from_pretrained(
         cls, model_path: str, seed: int = 0, quantization: Optional[str] = None
     ) -> "QwenTTSModel":
-        """Build from a local checkpoint dir (safetensors) or a preset name.
+        """Build from a checkpoint dir (native orbax or HF safetensors) or a
+        preset name.
 
-        Without checkpoint files the model runs with deterministic random
-        weights — the full compute path (tokenize → prefill → scan decode →
-        vocode) is identical, which is what the throughput benchmarks and
-        tests exercise.
+        Native checkpoints (written by :meth:`save_checkpoint`) restore the
+        FULL tree — talker, codec, embeddings, code predictor — and may be
+        pre-quantized, which makes them the fast serving path. HF
+        safetensors go through the scoped converter
+        (``models.qwen.weights``). Without checkpoint files the model runs
+        with deterministic random weights — the full compute path
+        (tokenize → prefill → scan decode → vocode) is identical, which is
+        what the throughput benchmarks and tests exercise.
         """
+        from .. import checkpoint as ckpt_lib
+
+        if _os.path.isdir(str(model_path)) and ckpt_lib.is_native_checkpoint(model_path):
+            # Restore directly onto the device: per-leaf disk reads overlap
+            # the host→device transfers (no whole-tree host staging).
+            from jax.sharding import SingleDeviceSharding
+
+            params, manifest = ckpt_lib.load_params(
+                model_path, family="qwen",
+                sharding=SingleDeviceSharding(jax.devices()[0]),
+            )
+            preset = manifest.get("preset", "1.7B")
+            cfg = PRESETS.get(preset) or resolve_config(preset)
+            saved_quant = manifest.get("quantization")
+            if quantization not in (None, "none") and saved_quant not in (
+                None,
+                quantization,
+            ):
+                raise ValueError(
+                    f"Checkpoint at {model_path} was exported with "
+                    f"quantization={saved_quant!r}; cannot serve as {quantization!r}"
+                )
+            logger.info(
+                "Loaded native Qwen-TTS checkpoint from %s (preset %s, quant %s)",
+                model_path, preset, saved_quant,
+            )
+            return cls(
+                cfg,
+                params=params,
+                model_path=model_path,
+                seed=seed,
+                quantization=quantization or saved_quant,
+            )
+
         cfg = resolve_config(model_path)
         params = None
         try:
             from .weights import load_checkpoint
 
-            params = load_checkpoint(model_path, cfg)
+            params = load_checkpoint(model_path, cfg, quantization=quantization)
             if params is not None:
                 logger.info("Loaded Qwen-TTS weights from %s", model_path)
         except Exception as exc:  # noqa: BLE001
@@ -354,6 +414,24 @@ class QwenTTSModel:
             )
         return cls(
             cfg, params=params, model_path=model_path, seed=seed, quantization=quantization
+        )
+
+    def save_checkpoint(self, path: str) -> None:
+        """Export the current parameter tree as a native serving checkpoint.
+
+        Saving a quantized model writes the int8/int4 leaves — a serving
+        ``from_pretrained(path)`` then moves half (int8) or a quarter
+        (int4) of the bf16 bytes host→device and skips the quantize pass,
+        which is the cold-start lever on hosts with slow links.
+        """
+        from .. import checkpoint as ckpt_lib
+
+        ckpt_lib.save_params(
+            path,
+            self.params,
+            family="qwen",
+            preset=self.config.name,
+            quantization=self.quantization,
         )
 
     # -- Mesh sharding helpers ----------------------------------------------
@@ -701,12 +779,14 @@ class QwenTTSModel:
         min_frames: int = 0,
         gamma: int = 4,
         rng: Optional[jnp.ndarray] = None,
+        residual_mode: str = "draft",
     ) -> Tuple[jnp.ndarray, int]:
         """Single-stream synthesis with draft-verify speculative decoding.
 
         ``draft`` is a smaller model sharing the codec vocabulary (e.g. a
         0.6B draft for a 1.7B target). Returns (waveform (T,), sr). See
-        :mod:`rho_tts_tpu.models.qwen.speculative` for the decode design.
+        :mod:`rho_tts_tpu.models.qwen.speculative` for the decode design
+        and the ``residual_mode`` acceptance semantics.
         """
         from .speculative import speculative_generate_codes
 
@@ -715,7 +795,7 @@ class QwenTTSModel:
             speaker=speaker, language=language,
             ref_audio=ref_audio, ref_text=ref_text,
             max_frames=max_frames, min_frames=min_frames,
-            gamma=gamma, rng=rng,
+            gamma=gamma, rng=rng, residual_mode=residual_mode,
         )
         hop = self.config.codec.hop
         t = _round_up(max(codes.shape[0], 1), _chunk())

@@ -69,7 +69,9 @@ def _mask_eos(logits, eos: int, suppress) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg_t", "cfg_d", "gamma", "max_rounds", "top_k", "cap"),
+    static_argnames=(
+        "cfg_t", "cfg_d", "gamma", "max_rounds", "top_k", "cap", "residual_mode"
+    ),
 )
 def _spec_decode(
     tp: Params,
@@ -88,10 +90,30 @@ def _spec_decode(
     max_rounds: int,
     top_k: int,
     cap: int,
+    residual_mode: str = "strict",
 ):
     """Speculation loop. Returns (codes (cap, nq), n_emitted, rounds_used).
 
     Emitted entries beyond the EOS (if any) are pads; the caller slices.
+
+    ``residual_mode``:
+
+    * ``"strict"`` — emitted residual codebooks always come from the
+      TARGET's code predictor; acceptance truncates at the first position
+      where the draft's residuals (which the verification forward consumed
+      as inputs) disagree, so every accepted primary was sampled from the
+      exactly-conditioned target distribution.
+    * ``"draft"`` — accepted slots emit the DRAFT's residual codebooks
+      (the verification inputs and the emitted stream are then identical,
+      so no truncation is needed; the bonus/resampled token still gets the
+      target's residuals). Primaries keep the provable target-distribution
+      guarantee; residual books ride the distilled draft predictor. With
+      exact-match truncation, residual disagreement (an argmax over
+      codebook_size classes per book, per position) caps acceptance far
+      below the primary overlap — measured 1.16 tok/round at 0.70 primary
+      acceptance on the small/draft pair — which is why serving uses this
+      mode by default (``models.qwen.distill`` trains the draft's
+      predictor toward the target's argmax, bounding the quality delta).
     """
     eos = cfg_t.audio_eos
     nq = cfg_t.codec.n_codebooks
@@ -169,19 +191,24 @@ def _spec_decode(
         rej = jnp.argmin(jnp.concatenate([accept, jnp.array([False])]))
         n_p = jnp.where(accept.all(), gamma, rej).astype(jnp.int32)
 
-        # Residual consistency: the verification forward consumed the
-        # DRAFT's residual codebooks as inputs; the emitted stream carries
-        # the TARGET's. Positions after the first disagreement saw wrong
-        # inputs, so acceptance truncates there (the disagreeing slot's own
-        # emission is still valid — its hidden state predates the mismatch).
-        res_t_draft = _predict_residuals(tp, cfg_t, h[0, :gamma], d_prim)  # (g, nq-1)
-        res_match = (res_t_draft == d_codes[:, 1:]).all(axis=-1)  # (gamma,)
-        m = jnp.where(
-            res_match.all(), gamma, jnp.argmin(res_match)
-        ).astype(jnp.int32)
-
-        truncated = n_p > m
-        n_eff = jnp.where(truncated, m + 1, n_p)
+        if residual_mode == "strict":
+            # Residual consistency: the verification forward consumed the
+            # DRAFT's residual codebooks as inputs; the emitted stream
+            # carries the TARGET's. Positions after the first disagreement
+            # saw wrong inputs, so acceptance truncates there (the
+            # disagreeing slot's own emission is still valid — its hidden
+            # state predates the mismatch).
+            res_t_draft = _predict_residuals(tp, cfg_t, h[0, :gamma], d_prim)  # (g, nq-1)
+            res_match = (res_t_draft == d_codes[:, 1:]).all(axis=-1)  # (gamma,)
+            m = jnp.where(
+                res_match.all(), gamma, jnp.argmin(res_match)
+            ).astype(jnp.int32)
+            truncated = n_p > m
+        else:
+            # "draft": emitted residuals for accepted slots ARE the
+            # verification inputs — no inconsistency to truncate on.
+            truncated = jnp.bool_(False)
+        n_eff = jnp.where(truncated, m + 1, n_p) if residual_mode == "strict" else n_p
         has_extra = ~truncated
 
         # Extra token: bonus (all accepted) from ps[gamma], else resample
@@ -204,9 +231,15 @@ def _spec_decode(
             d_prim_pad,
             jnp.where((idx == n_eff) & has_extra, extra, cfg_t.audio_pad),
         )
-        # Emitted residuals always come from the TARGET's predictor at the
-        # producing position (h[i] produced emission slot i).
+        # Emitted residuals: target's predictor at the producing position
+        # (h[i] produced emission slot i); in "draft" mode accepted slots
+        # carry the draft's residuals instead (see docstring).
         res_emit = _predict_residuals(tp, cfg_t, h[0], emit_prim)  # (g+1, nq-1)
+        if residual_mode == "draft" and nq > 1:
+            d_res_pad = jnp.concatenate(
+                [d_codes[:, 1:], jnp.zeros((1, nq - 1), jnp.int32)]
+            )  # (g+1, nq-1)
+            res_emit = jnp.where((idx < n_eff)[:, None], d_res_pad, res_emit)
         codes_vec = jnp.concatenate([emit_prim[:, None], res_emit], axis=-1)
         n_new = n_eff + has_extra.astype(jnp.int32)
 
@@ -291,14 +324,18 @@ def speculative_generate_codes(
     temperature: Optional[float] = None,
     top_k: Optional[int] = None,
     rng=None,
+    residual_mode: str = "draft",
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Single-stream speculative decode: returns (codes (T, nq), stats).
 
     ``target`` / ``draft`` are :class:`~rho_tts_tpu.models.qwen.QwenTTSModel`
     instances sharing the codec vocabulary (e.g. 1.7B target + 0.6B draft).
     Stats include the realized acceptance ratio (emitted tokens per round
-    vs the gamma+1 upper bound).
+    vs the gamma+1 upper bound). ``residual_mode`` ("draft" default /
+    "strict") — see :func:`_spec_decode`.
     """
+    if residual_mode not in ("strict", "draft"):
+        raise ValueError(f"Unknown residual_mode: {residual_mode!r}")
     cfg_t, cfg_d = target.config, draft.config
     if cfg_t.audio_vocab != cfg_d.audio_vocab:
         raise ValueError("target and draft must share the codec vocabulary")
@@ -332,7 +369,7 @@ def speculative_generate_codes(
         t_pre["slot0"], d_pre["slot0"], t_pre["pos0"],
         first_codes, rng,
         jnp.float32(temperature), jnp.int32(min_frames),
-        gamma, int(max_rounds), int(top_k), cap,
+        gamma, int(max_rounds), int(top_k), cap, residual_mode,
     )
     codes_np, n, r = jax.device_get((codes, n_out, rounds))
     n, r = int(n), max(int(r), 1)

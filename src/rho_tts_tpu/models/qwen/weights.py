@@ -33,8 +33,18 @@ _NON_TALKER = (
 )
 
 
-def load_checkpoint(model_path: str, cfg: QwenTTSConfig) -> Optional[Dict[str, Any]]:
-    """Load and convert a local checkpoint. Returns None when absent."""
+def load_checkpoint(
+    model_path: str, cfg: QwenTTSConfig, quantization: Optional[str] = None
+) -> Optional[Dict[str, Any]]:
+    """Load and convert a local checkpoint. Returns None when absent.
+
+    Cold-start discipline: the random fallback tree is built by ONE fused
+    jitted program and stays on device; matched tensors are assembled
+    host-side (optionally quantized host-side too, halving/quartering the
+    bytes moved) and shipped in a single ``jax.device_put`` of the whole
+    tree. A complete checkpoint therefore never fetches device memory back
+    to host — critical on relay hosts with ~MB/s device→host links.
+    """
     if not os.path.isdir(model_path):
         return None
     tensors = read_safetensors(model_path)
@@ -42,12 +52,12 @@ def load_checkpoint(model_path: str, cfg: QwenTTSConfig) -> Optional[Dict[str, A
         return None
 
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     from .model import init_params
 
     t = cfg.talker
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
     matched = 0
 
     def count():
@@ -62,7 +72,7 @@ def load_checkpoint(model_path: str, cfg: QwenTTSConfig) -> Optional[Dict[str, A
         if tuple(value.shape) != tuple(ref.shape):
             logger.warning("Shape mismatch at %s: %s vs %s", path, value.shape, ref.shape)
             return
-        node[path[-1]] = jnp.asarray(value, ref.dtype)
+        node[path[-1]] = np.asarray(value).astype(ref.dtype)
         count()
 
     talker_ns = scope(tensors, exclude=_NON_TALKER)
@@ -74,7 +84,8 @@ def load_checkpoint(model_path: str, cfg: QwenTTSConfig) -> Optional[Dict[str, A
     blocks = params["talker"]["blocks"]
     new_blocks = map_llama_blocks(talker_ns, blocks, t.layers, count)
     params["talker"]["blocks"] = {
-        k: jnp.asarray(v, blocks[k].dtype) for k, v in new_blocks.items()
+        k: v.astype(np.dtype(blocks[k].dtype)) if isinstance(v, np.ndarray) else v
+        for k, v in new_blocks.items()
     }
 
     final_norm = find(talker_ns, "model.norm.weight", "final_layernorm.weight")
@@ -85,8 +96,34 @@ def load_checkpoint(model_path: str, cfg: QwenTTSConfig) -> Optional[Dict[str, A
     if head is not None and head.T.shape == tuple(params["lm_head"].shape):
         put(params, ("lm_head",), head.T)
 
+    # Non-talker components, matched by suffix against plausible multi-
+    # component TTS checkpoint names. A full native export covers these
+    # exactly (models.checkpoint); here is the best-effort HF-side map.
+    aud = find(tensors, "audio_embed.weight", "codec_embedding.weight",
+               "codec_embed.weight")
+    if aud is not None:
+        want = params["audio_embed"].shape
+        if aud.shape == tuple(want):
+            put(params, ("audio_embed",), aud)
+        elif aud.shape == (want[0] * want[1], want[2]):
+            put(params, ("audio_embed",), aud.reshape(want))
+    spk = find(tensors, "speaker_embed.weight", "speaker_embedding.weight")
+    if spk is not None:
+        put(params, ("speaker_embed",), spk)
+
     if matched == 0:
         logger.warning("Checkpoint at %s matched no tensors; using random init", model_path)
         return None
+
+    if quantization in ("int8", "int4"):
+        from ..quantization import QUANT_KEYS, quantize_host
+
+        blocks = params["talker"]["blocks"]
+        for name in QUANT_KEYS:
+            w = blocks.get(name)
+            if isinstance(w, np.ndarray):
+                blocks[name] = quantize_host(w, quantization)
+
+    params = jax.device_put(params)
     logger.info("Converted %d tensor groups from %s", matched, model_path)
     return params

@@ -97,6 +97,7 @@ class QwenTTS(BaseTTS):
         n_devices: Optional[int] = None,
         draft_model_path: Optional[str] = None,
         speculative_gamma: int = 4,
+        speculative_residual_mode: str = "draft",
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -121,6 +122,15 @@ class QwenTTS(BaseTTS):
         self.n_devices = n_devices
         self.draft_model_path = draft_model_path
         self.speculative_gamma = speculative_gamma
+        if speculative_residual_mode not in ("draft", "strict"):
+            raise ValueError(
+                f"Unknown speculative_residual_mode: {speculative_residual_mode!r}"
+            )
+        #: "draft" (serving default — accepted slots carry the draft's
+        #: residual codebooks, no truncation) or "strict" (target residuals
+        #: everywhere, acceptance truncates on predictor disagreement); see
+        #: models.qwen.speculative._spec_decode.
+        self.speculative_residual_mode = speculative_residual_mode
         self._draft_model = None
 
         self._max_chars_explicit = max_chars_per_segment is not None
@@ -257,6 +267,7 @@ class QwenTTS(BaseTTS):
                 min_frames=min_frames,
                 gamma=self.speculative_gamma,
                 rng=self.next_rng(),
+                residual_mode=self.speculative_residual_mode,
             )
             return wav if is_single else [wav]
         waves, _sr = model.synthesize(

@@ -77,6 +77,42 @@ def test_deterministic_given_rng(target, draft_other):
     np.testing.assert_array_equal(a, b)
 
 
+def test_residual_modes_agree_with_identical_draft(target, draft_same):
+    """p == q AND identical residual predictors → strict truncation never
+    fires, so both modes must emit the exact same stream."""
+    kw = dict(
+        speaker="Vivian", max_frames=32, min_frames=16, gamma=3,
+        rng=jax.random.PRNGKey(4),
+    )
+    a, _ = speculative_generate_codes(
+        target, draft_same, "mode agreement", residual_mode="strict", **kw
+    )
+    b, _ = speculative_generate_codes(
+        target, draft_same, "mode agreement", residual_mode="draft", **kw
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_draft_mode_unrelated_draft_valid(target, draft_other):
+    codes, stats = speculative_generate_codes(
+        target, draft_other, "draft mode validity", speaker="Ryan",
+        max_frames=40, min_frames=16, gamma=4, residual_mode="draft",
+        rng=jax.random.PRNGKey(5),
+    )
+    cb = target.config.codec.codebook_size
+    assert codes.shape[0] >= 8
+    assert (codes[:, 0] < cb).all()
+    assert (codes >= 0).all() and (codes < cb + 3).all()
+    assert 1.0 <= stats["tokens_per_round"] <= stats["acceptance_upper"]
+
+
+def test_unknown_residual_mode_rejected(target, draft_other):
+    with pytest.raises(ValueError, match="residual_mode"):
+        speculative_generate_codes(
+            target, draft_other, "x", residual_mode="bogus"
+        )
+
+
 def test_vocab_mismatch_rejected(target):
     class FakeCfg:
         audio_vocab = 999
