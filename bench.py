@@ -499,6 +499,15 @@ def bench_coldstart():
             f"{time.time() - t0:.1f}s → {ckpt_dir}")
         del params
 
+    # Raw H2D bandwidth probe: the serving transfer is bounded by this.
+    blob = np.zeros(64 * 1024 * 1024, np.uint8)
+    jax.device_put(blob[: 1024])  # warm the path
+    t0 = time.time()
+    d = jax.device_put(blob)
+    sync(d[:8].astype(jax.numpy.float32))
+    bw = blob.nbytes / (time.time() - t0) / 1e6
+    log(f"host→device bandwidth probe: {bw:.0f} MB/s (64 MB put)")
+
     t0 = time.time()
     model = QwenTTSModel.from_pretrained(ckpt_dir)
     # Force EVERY leaf resident (one tiny probe program over all leaves —
@@ -510,7 +519,7 @@ def bench_coldstart():
     float(probe(*leaves))
     ready = time.time() - t0
     log(f"checkpoint → device-ready: {ready:.1f}s (quant={quant}, "
-        f"direct-to-device restore)")
+        f"host-staged restore + one pipelined device_put)")
 
     text = "Cold start readiness check sentence."
     kw = dict(speaker="Vivian", min_frames=64, max_frames=64)

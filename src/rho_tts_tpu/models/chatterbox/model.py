@@ -290,12 +290,10 @@ class ChatterboxModel:
         from .. import checkpoint as ckpt_lib
 
         if model_path and os.path.isdir(str(model_path)) and ckpt_lib.is_native_checkpoint(model_path):
-            from jax.sharding import SingleDeviceSharding
-
-            params, manifest = ckpt_lib.load_params(
-                model_path, family="chatterbox",
-                sharding=SingleDeviceSharding(jax.devices()[0]),
-            )
+            # Host-staged restore + one pipelined device_put (see
+            # QwenTTSModel.from_pretrained for the relay measurement).
+            params, manifest = ckpt_lib.load_params(model_path, family="chatterbox")
+            params = jax.device_put(params)
             cfg = PRESETS.get(manifest.get("preset", implementation), PRESETS["standard"])
             saved_quant = manifest.get("quantization")
             if quantization not in (None, "none") and saved_quant not in (None, quantization):

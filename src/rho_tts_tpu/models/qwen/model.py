@@ -365,14 +365,12 @@ class QwenTTSModel:
         from .. import checkpoint as ckpt_lib
 
         if _os.path.isdir(str(model_path)) and ckpt_lib.is_native_checkpoint(model_path):
-            # Restore directly onto the device: per-leaf disk reads overlap
-            # the host→device transfers (no whole-tree host staging).
-            from jax.sharding import SingleDeviceSharding
-
-            params, manifest = ckpt_lib.load_params(
-                model_path, family="qwen",
-                sharding=SingleDeviceSharding(jax.devices()[0]),
-            )
+            # Host-staged restore + ONE device_put of the whole tree: the
+            # single put pipelines transfers. (Measured: orbax's
+            # direct-to-device restore serializes per-leaf writes and was
+            # 3× slower through the relay — 835 s vs 268 s for 2.16 GB.)
+            params, manifest = ckpt_lib.load_params(model_path, family="qwen")
+            params = jax.device_put(params)
             preset = manifest.get("preset", "1.7B")
             cfg = PRESETS.get(preset) or resolve_config(preset)
             saved_quant = manifest.get("quantization")
@@ -388,13 +386,15 @@ class QwenTTSModel:
                 "Loaded native Qwen-TTS checkpoint from %s (preset %s, quant %s)",
                 model_path, preset, saved_quant,
             )
-            return cls(
+            model = cls(
                 cfg,
                 params=params,
                 model_path=model_path,
                 seed=seed,
                 quantization=quantization or saved_quant,
             )
+            model.variant = manifest.get("variant")  # survives re-export
+            return model
 
         cfg = resolve_config(model_path)
         params = None
@@ -423,15 +423,24 @@ class QwenTTSModel:
         ``from_pretrained(path)`` then moves half (int8) or a quarter
         (int4) of the bf16 bytes host→device and skips the quantize pass,
         which is the cold-start lever on hosts with slow links.
+
+        The manifest records the CustomVoice/Base ``variant`` so providers
+        keep their routing (reference parity: the reference infers it from
+        "CustomVoice" in the model path, which an exported directory name
+        no longer carries).
         """
         from .. import checkpoint as ckpt_lib
 
+        variant = getattr(self, "variant", None) or (
+            "custom-voice" if "CustomVoice" in str(self.model_path or "") else "base"
+        )
         ckpt_lib.save_params(
             path,
             self.params,
             family="qwen",
             preset=self.config.name,
             quantization=self.quantization,
+            extra={"variant": variant},
         )
 
     # -- Mesh sharding helpers ----------------------------------------------

@@ -226,6 +226,27 @@ class QwenTTS(BaseTTS):
         except Exception as exc:  # noqa: BLE001 — similarity is best-effort
             logger.warning("Speaker embedding unavailable: %s", exc)
 
+    def _is_custom_voice(self) -> bool:
+        """CustomVoice vs Base routing.
+
+        Parity: the reference infers it from "CustomVoice" in the model
+        path (`src/rho_tts/providers/qwen.py:218-266`). Native serving
+        checkpoints carry the variant in their manifest instead — the
+        exported directory name no longer encodes it.
+        """
+        if "CustomVoice" in self.model_path:
+            return True
+        try:
+            from ..models import checkpoint as ckpt_lib
+
+            if ckpt_lib.is_native_checkpoint(self.model_path):
+                return ckpt_lib.load_manifest(self.model_path).get(
+                    "variant"
+                ) == "custom-voice"
+        except Exception:  # noqa: BLE001
+            return False
+        return False
+
     # -- Generation ----------------------------------------------------------
 
     def _generate_audio(self, text: Union[str, List[str]], **kwargs):
@@ -239,7 +260,7 @@ class QwenTTS(BaseTTS):
         is_single = isinstance(text, str)
         text_list = [text] if is_single else list(text)
 
-        is_custom_voice = "CustomVoice" in self.model_path
+        is_custom_voice = self._is_custom_voice()
 
         if is_custom_voice and not self.speaker:
             raise ValueError(
@@ -298,7 +319,7 @@ class QwenTTS(BaseTTS):
         if self.parallelism or self.draft_model_path:
             return None
         model = self._load_model()
-        is_custom_voice = "CustomVoice" in self.model_path
+        is_custom_voice = self._is_custom_voice()
         if is_custom_voice and not self.speaker:
             raise ValueError(
                 "CustomVoice model requires a named speaker for streaming."
@@ -326,6 +347,16 @@ class QwenTTS(BaseTTS):
     def _make_chunk_postprocessor(self):
         """Causal analogue of the global loudness pass for chunk mode."""
         return dsp.StreamingLoudness().process
+
+    def export_checkpoint(self, path: str) -> None:
+        """Export the loaded model as a native serving checkpoint.
+
+        Pre-quantized when the provider runs quantized — subsequent
+        ``QwenTTS(model_path=path)`` cold starts load the exact serving
+        bytes (see ``models.checkpoint``). Offline conversion without a
+        device: ``python -m rho_tts_tpu.models.qwen.export``.
+        """
+        self._load_model().save_checkpoint(path)
 
     def close(self) -> None:
         """Release model parameters (device HBM)."""

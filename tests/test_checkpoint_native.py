@@ -76,6 +76,28 @@ def test_native_family_mismatch_rejected(tmp_path):
         ckpt_lib.load_params(str(tmp_path / "x"), family="qwen")
 
 
+def test_provider_export_and_reload(tmp_path):
+    """QwenTTS.export_checkpoint → new provider serves the same weights."""
+    from rho_tts_tpu.providers.qwen import QwenTTS
+
+    a = QwenTTS(device="cpu", model_path="tiny-CustomVoice", speaker="Vivian",
+                max_iterations=1, quantization="int8")
+    a.export_checkpoint(tmp_path / "served")
+    assert ckpt_lib.is_native_checkpoint(str(tmp_path / "served"))
+
+    b = QwenTTS(device="cpu", model_path=str(tmp_path / "served"),
+                speaker="Vivian", max_iterations=1)
+    _tree_equal(a._load_model().params, b._load_model().params)
+    assert b._load_model().quantization == "int8"
+    # CustomVoice routing survives the export (the directory name no
+    # longer carries it; the manifest variant does)
+    assert b._is_custom_voice()
+    b.export_checkpoint(tmp_path / "served2")  # variant survives re-export
+    c = QwenTTS(device="cpu", model_path=str(tmp_path / "served2"),
+                speaker="Vivian", max_iterations=1)
+    assert c._is_custom_voice()
+
+
 def test_chatterbox_native_roundtrip(tmp_path):
     from rho_tts_tpu.models.chatterbox.model import PRESETS as CB_PRESETS
     from rho_tts_tpu.models.chatterbox.model import ChatterboxModel
