@@ -79,9 +79,12 @@ def is_quantized(w) -> bool:
 def quantize_stack(stack_params: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
     """Quantize a transformer stack's matmul weights (norms stay f32).
 
-    mode "int8": per-channel symmetric int8 (default).
-    mode "int4": packed-nibble int4 — halves decode HBM traffic again;
-    dequantized in VMEM by the Pallas kernel (``ops.pallas.int4_matmul``).
+    mode "int8": per-channel symmetric int8 (default serving mode).
+    mode "int4": packed-nibble int4 — halves weight HBM CAPACITY vs int8
+    (for memory-bound deployments) at ~63% of int8's decode throughput;
+    dispatched to an XLA two-dot dequant by default, or the Pallas VMEM-
+    dequant kernel with ``RHO_TTS_TPU_INT4_KERNEL=1`` (measured at parity;
+    see ``ops.pallas.int4_matmul``).
     """
     if mode == "int4":
         from ..ops.pallas.int4_matmul import pack_int4

@@ -60,9 +60,12 @@ def dequant_matmul_reference(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray) ->
     """XLA two-dot dequant matmul: x (B, K) @ dequant(q4, s) → (B, N).
 
     The half-split packing makes the dequant matmul two plain dots against
-    the sign-extended nibble planes — XLA fuses the shifts into the
-    operand loads, so HBM traffic is the K/2 packed bytes. Measured ~23%
-    faster than int8 at 1.7B decode shapes on v5e; also the test oracle.
+    the sign-extended nibble planes; also the test oracle. End-to-end A/B
+    at 1.7B batch-5 decode (2026-08-17): two-dot 79.7× RT ≈ Pallas kernel
+    80.0× RT, both behind int8's 126.8× — int4 is a CAPACITY mode (half
+    the weight HBM of int8), not a throughput mode, and the two dots (each
+    reading the packed planes once) give it no traffic advantage over
+    int8's single dot.
     """
     kh = q4.shape[-2]
     w32 = q4.astype(jnp.int32)
@@ -104,9 +107,11 @@ except Exception:  # noqa: BLE001
 
 
 def _kernel_available() -> bool:
-    # The XLA two-dot path wins at decode shapes (per-pallas_call overhead
-    # dominates at B≤16 rows); the kernel is kept opt-in for large-batch
-    # experimentation.
+    # Measured at parity with the XLA two-dot at 1.7B decode shapes
+    # (80.0× vs 79.7× RT end-to-end, 2026-08-17): the decode step is not
+    # bounded by these matmuls at B=5, so the kernel's single-pass HBM
+    # advantage doesn't materialize. Kept opt-in for large-batch
+    # experimentation; the default serving path stays on XLA.
     if not _PALLAS_OK:
         return False
     if os.environ.get("RHO_TTS_TPU_INT4_KERNEL", "0") != "1":
