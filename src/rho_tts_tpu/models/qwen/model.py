@@ -68,6 +68,27 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _kv_window(needed: int, s: int):
+    """Static attention-read bound for a decode chunk (or None for full S).
+
+    The KV cache is allocated at the static worst case S; a chunk ending
+    at slot ``needed`` can only attend to slots below it, so slicing the
+    attention read to a bucketed prefix was expected to cut per-step KV
+    HBM traffic early in long utterances. Measured on v5e (1.7B int8,
+    1280 frames): 5-10% SLOWER at B∈{1,5} — XLA materializes the sliced
+    cache as a copy per layer instead of narrowing the einsum's read, so
+    the "saved" bandwidth is spent on the copy. Default is therefore OFF
+    (``RHO_TTS_TPU_KV_BUCKET=0``); the mechanism stays env-gated (set a
+    bucket size, e.g. 512) for experimentation on toolchains where the
+    slice fuses, with bit-exact parity guarded by tests/test_kv_window.py.
+    """
+    bucket = int(_os.environ.get("RHO_TTS_TPU_KV_BUCKET", "0"))
+    if bucket <= 0:
+        return None
+    w = _round_up(needed, bucket)
+    return None if w >= s else w
+
+
 # ---------------------------------------------------------------------------
 # Parameter init
 # ---------------------------------------------------------------------------
@@ -210,7 +231,7 @@ def _predict_residuals(params: Params, cfg: QwenTTSConfig, h_last, tok0):
     return jnp.argmax(logits, axis=-1).T.astype(jnp.int32)  # (B, Q)
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "top_k", "kv_window"))
 def _decode_chunk(
     params: Params,
     cfg: QwenTTSConfig,
@@ -227,6 +248,7 @@ def _decode_chunk(
     min_frames: jnp.ndarray,  # scalar int32: EOS suppressed below this
     steps: int,
     top_k: int,
+    kv_window: Optional[int] = None,  # static: chunk attends to cache[:kv_window]
 ):
     b = last_codes.shape[0]
     nq = cfg.codec.n_codebooks
@@ -251,6 +273,7 @@ def _decode_chunk(
             cache_len=slot,
             attn_mask=None,
             key_valid=key_valid,
+            kv_window=kv_window,
         )
         key_valid = key_valid.at[:, slot].set(True)
         h_last = h[:, -1]
@@ -664,6 +687,7 @@ class QwenTTSModel:
         all_done = [done[:, None]]
         last_codes = first_codes
         slot0 = jnp.int32(p)
+        slot_py = p  # python mirror of slot0 for the static kv window
         prev_flag = None
 
         for _ in range(n_chunks):
@@ -695,10 +719,12 @@ class QwenTTSModel:
                     jnp.int32(min_frames),
                     _chunk(),
                     top_k,
+                    _kv_window(slot_py + _chunk(), s),
                 )
             all_codes.append(codes_chunk)
             all_done.append(done_chunk)
             slot0 = slot0 + _chunk()
+            slot_py += _chunk()
             # Early exit on the PREVIOUS chunk's flag: it is already
             # materialized, so the fetch overlaps the chunk just dispatched
             # (worst case one surplus chunk, never a device stall).
@@ -903,6 +929,8 @@ class QwenTTSModel:
         emitted = 0  # frames already yielded
         last_codes = first_codes
         slot0 = jnp.int32(p)
+        slot_py = p  # python mirror for the static kv window
+        s_total = p + n_chunks * _chunk()
 
         def vocode_span(lo: int, hi: int, emit_from: int, emit_to: int):
             """Vocode codes[lo:hi]; return samples for frames [emit_from, emit_to)."""
@@ -923,8 +951,10 @@ class QwenTTSModel:
                 slot0, rope_base + (slot0 - jnp.int32(p)), last_codes, done, rng,
                 jnp.float32(temperature), slot0 - jnp.int32(p) + 1,
                 jnp.int32(min_frames), _chunk(), top_k,
+                _kv_window(slot_py + _chunk(), s_total),
             )
             slot0 = slot0 + _chunk()
+            slot_py += _chunk()
             cc, dd = jax.device_get((codes_chunk, done_chunk))
             cc, dd = np.asarray(cc)[0], np.asarray(dd)[0]
             hit = np.nonzero(dd)[0]

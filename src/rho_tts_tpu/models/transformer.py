@@ -223,6 +223,7 @@ def _block_forward_cached(
     attn_mask: Optional[jnp.ndarray],
     key_valid: Optional[jnp.ndarray],  # (B, S), ALREADY includes new slots
     fused_prefill: bool,
+    kv_window: Optional[int] = None,  # static: attend only to slots [0, kv_window)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One cached transformer block, writing into the stacked cache.
 
@@ -233,6 +234,13 @@ def _block_forward_cached(
     fuses into the attention einsum. The previous formulation (per-row
     scatter + scan-over-layers emitting caches as ys) re-materialized the
     entire cache every decode step — ~1 ms/step at S=384 on v5e.
+
+    ``kv_window`` (static) bounds the attention read to the cache prefix
+    ``[0, kv_window)`` — decode steps early in a long utterance then read
+    only the slots that can be occupied instead of the full static-S
+    cache, cutting per-step attention HBM traffic proportionally. The
+    caller guarantees every occupied (and newly written) slot is below
+    the window.
     """
     b, t, _ = x.shape
     scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -261,15 +269,16 @@ def _block_forward_cached(
         mask = attn_mask if attn_mask is not None else jnp.ones((b, t), bool)
         attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
     else:
-        scores = _gqa_scores(q, ck_all[layer]) * scale  # (B, Hq, T, S)
-        key_pos = jnp.arange(s)[None, None, None, :]
+        w = s if kv_window is None else min(kv_window, s)
+        scores = _gqa_scores(q, ck_all[layer][:, :w]) * scale  # (B, Hq, T, w)
+        key_pos = jnp.arange(w)[None, None, None, :]
         query_abs = (slot + jnp.arange(t))[None, None, :, None]  # (1,1,T,1)
         mask = key_pos <= query_abs
         if key_valid is not None:
-            mask = mask & key_valid[:, None, None, :]
+            mask = mask & key_valid[:, None, None, :w]
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = _gqa_mix(probs, cv_all[layer])  # (B, T, Hq, D)
+        attn = _gqa_mix(probs, cv_all[layer][:, :w])  # (B, T, Hq, D)
 
     attn = attn.reshape(b, t, cfg.q_heads * cfg.head_dim).astype(x.dtype)
     x = x + qmm(attn, params["wo"])
@@ -291,6 +300,8 @@ def stack_forward(
     attn_mask: Optional[jnp.ndarray] = None,
     key_valid: Optional[jnp.ndarray] = None,
     fused_prefill: bool = False,
+    kv_window: Optional[int] = None,  # static attention-read bound (see
+    # _block_forward_cached)
 ):
     """Run the full block stack via scan-over-layers.
 
@@ -328,7 +339,7 @@ def stack_forward(
             lp = jax.tree.map(lambda a: a[layer], blocks)
             x, ck_all, cv_all = _block_forward_cached(
                 lp, cfg, x, positions, ck_all, cv_all, layer, slot,
-                attn_mask, key_valid, fused_prefill,
+                attn_mask, key_valid, fused_prefill, kv_window,
             )
         ks, vs = ck_all, cv_all
 
