@@ -178,6 +178,11 @@ def bench_pipeline():
     # figure includes regeneration + revalidation — the reference's actual
     # hot loop (/root/reference/src/rho_tts/base_tts.py:770-898).
     reject_rate = float(os.environ.get("BENCH_REJECT_RATE", "0"))
+    if reject_rate > 0 and not full:
+        # Rejection is injected at the drift gate, which only runs with
+        # the full validation loop; a reject-suffixed metric measured with
+        # zero forced rejections would be mislabeled.
+        raise SystemExit("BENCH_REJECT_RATE requires BENCH_FULL=1")
 
     provider_cls = QwenTTS
     if full and reject_rate > 0:

@@ -1392,6 +1392,7 @@ class BaseTTS(ABC):
         cancellation_token: Optional[CancellationToken] = None,
         speed: float = 1.0,
         pitch_semitones: float = 0.0,
+        chunked: bool = True,
     ) -> Generator[GenerationResult, None, None]:
         """Yield one GenerationResult per text segment as generated.
 
@@ -1405,13 +1406,15 @@ class BaseTTS(ABC):
         decode chunk (~constant latency regardless of segment length)
         instead of after the whole segment. Chunk mode is bypassed when
         speed/pitch shifting is requested (those transforms need the whole
-        segment).
+        segment), or with ``chunked=False`` (for consumers whose contract
+        is one result per text segment, e.g. the isolation worker's
+        SEGMENT_RESULT protocol).
         """
         token = cancellation_token or CancellationToken()
         mapped_text = self._apply_phonetic_mapping(text)
         effective_max_chars = self._compute_max_chars()
         segments = self._split_text_into_segments(mapped_text, effective_max_chars)
-        chunk_ok = speed == 1.0 and pitch_semitones == 0.0
+        chunk_ok = chunked and speed == 1.0 and pitch_semitones == 0.0
 
         for seg_idx, segment in enumerate(segments):
             if token.is_cancelled():
@@ -1425,7 +1428,17 @@ class BaseTTS(ABC):
                     logger.warning(f"Segment {seg_idx + 1} failed: {e}")
                     continue
                 if chunk_iter is not None:
-                    yield from self._stream_segment_chunks(chunk_iter, token, seg_idx)
+                    try:
+                        yield from self._stream_segment_chunks(
+                            chunk_iter, token, seg_idx
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        # Same per-segment skip semantics as the
+                        # non-chunked path below; the failed segment's
+                        # tail is NOT emitted (see _stream_segment_chunks).
+                        logger.warning(
+                            f"Segment {seg_idx + 1} failed mid-stream: {e}"
+                        )
                     continue
             try:
                 raw = self._generate_audio(segment)
@@ -1503,7 +1516,13 @@ class BaseTTS(ABC):
         except CancelledException:
             return
         except Exception as e:  # noqa: BLE001
+            # Do NOT emit the held-back lookahead chunk: a mid-stream
+            # failure must not masquerade as a cleanly finished segment
+            # (trailing trim + fade-out would make the truncation sound
+            # intentional). Propagate like the non-chunked path, where a
+            # failed segment yields nothing.
             logger.warning(f"Segment {seg_idx + 1} chunk stream failed: {e}")
+            raise
         if prev is not None and not token.is_cancelled():
             prev = self._trim_silence(prev, from_start=False, from_end=True)
             prev = self._apply_fades(prev, fade_in=False, fade_out=True)

@@ -123,6 +123,11 @@ class Worker:
                 cancellation_token=token,
                 speed=msg.get("speed", 1.0),
                 pitch_semitones=msg.get("pitch_semitones", 0.0),
+                # Protocol contract: one SEGMENT_RESULT per TEXT segment
+                # (paths-not-payloads, reference parity). Sub-segment chunk
+                # mode would emit a wav + message per decode chunk,
+                # inflating "segments" and multiplying disk round trips.
+                chunked=False,
             ):
                 if token.is_cancelled():
                     self._emit(P.CANCELLED)

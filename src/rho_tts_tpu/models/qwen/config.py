@@ -147,18 +147,28 @@ PRESETS = {
 }
 
 
+# Preset keys eligible for substring inference from checkpoint names.
+# "small"/"draft" (the speculative-demo pair) are deliberately excluded:
+# they are common words in real checkpoint paths (".../qwen-0.6b-draft")
+# and would silently hijack the size inference — they resolve only on an
+# exact name match.
+_INFERRED_PRESETS = ("0.6B", "1.7B", "tiny")
+
+
 def resolve_config(model_path: str) -> QwenTTSConfig:
     """Map a model path / HF id to a config.
 
     A local directory with a ``config.json`` may override the preset size;
-    otherwise the preset is inferred from the name ("0.6B", "1.7B", "tiny").
+    otherwise the preset is inferred from the name ("0.6B", "1.7B", "tiny")
+    or matched exactly ("small", "draft").
     """
     base = "1.7B"
     # Match against the basename only (a parent directory like
     # '/home/martiny/' must not trigger the 'tiny' preset), preferring the
     # longest matching preset name.
     name = os.path.basename(os.path.normpath(str(model_path))).lower()
-    matches = [k for k in PRESETS if k.lower() in name]
+    exact = [k for k in PRESETS if k.lower() == name]
+    matches = exact or [k for k in _INFERRED_PRESETS if k.lower() in name]
     if matches:
         base = max(matches, key=len)
     cfg = PRESETS[base]

@@ -205,6 +205,10 @@ def build_batches(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if len(texts) < batch_size:
+        raise ValueError(
+            f"corpus of {len(texts)} texts cannot fill a batch of {batch_size}"
+        )
     batches = []
     for start in range(0, len(texts) - batch_size + 1, batch_size):
         chunk = list(texts[start : start + batch_size])
@@ -215,6 +219,7 @@ def build_batches(
         codes = target.generate_codes(
             chunk, speaker=speaker, language=language,
             min_frames=seq_frames, max_frames=seq_frames, rng=k,
+            prebuilt_prompt=(arrays, lens, p),
         )
         codes = np.stack([c[:seq_frames] for c in codes])  # (B, T, nq)
         batch = {k2: jnp.asarray(v) for k2, v in arrays.items()}
@@ -247,6 +252,8 @@ def distill_draft(
     cfg_t, cfg_d = target.config, draft.config
     if cfg_t.audio_vocab != cfg_d.audio_vocab:
         raise ValueError("target and draft must share the codec vocabulary")
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
 
     texts = make_corpus(n_texts, seed=seed)
     batches = build_batches(

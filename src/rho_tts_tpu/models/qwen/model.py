@@ -397,10 +397,15 @@ class QwenTTSModel:
             preset = manifest.get("preset", "1.7B")
             cfg = PRESETS.get(preset) or resolve_config(preset)
             saved_quant = manifest.get("quantization")
-            if quantization not in (None, "none") and saved_quant not in (
-                None,
-                quantization,
-            ):
+            if saved_quant == "none":
+                saved_quant = None
+            # An explicit request (incl. "none" = dense) must match a
+            # quantized export — its leaves cannot be un/re-quantized
+            # here. Requesting int8/int4 on a DENSE export is fine (the
+            # constructor quantizes); None serves as-exported.
+            requested = None if quantization == "none" else quantization
+            explicit = quantization is not None
+            if explicit and saved_quant is not None and requested != saved_quant:
                 raise ValueError(
                     f"Checkpoint at {model_path} was exported with "
                     f"quantization={saved_quant!r}; cannot serve as {quantization!r}"
@@ -414,7 +419,7 @@ class QwenTTSModel:
                 params=params,
                 model_path=model_path,
                 seed=seed,
-                quantization=quantization or saved_quant,
+                quantization=requested or saved_quant,
             )
             model.variant = manifest.get("variant")  # survives re-export
             return model
@@ -619,12 +624,17 @@ class QwenTTSModel:
         top_k: Optional[int] = None,
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
+        prebuilt_prompt=None,
     ) -> List[np.ndarray]:
         """Run prefill + chunked AR decode; returns per-text code arrays.
 
         ``min_frames`` masks the EOS token for the first N frames —
         a minimum-duration floor (also used by throughput benchmarks so
         random-weight models don't terminate immediately).
+        ``prebuilt_prompt`` accepts an ``(arrays, lens, bucket)`` triple
+        from a prior ``_build_prompt_arrays(texts, ...)`` call with the
+        same arguments, so callers that need the prompt arrays themselves
+        (e.g. distillation batch building) don't tokenize twice.
         """
         cfg = self.config
         temperature = cfg.temperature if temperature is None else temperature
@@ -633,9 +643,12 @@ class QwenTTSModel:
             rng = jax.random.PRNGKey(0)
 
         with profiling.stage("qwen/prompt_build"):
-            arrays, lens, p = self._build_prompt_arrays(
-                texts, speaker, language, ref_audio, ref_text
-            )
+            if prebuilt_prompt is not None:
+                arrays, lens, p = prebuilt_prompt
+            else:
+                arrays, lens, p = self._build_prompt_arrays(
+                    texts, speaker, language, ref_audio, ref_text
+                )
         # Mesh serving: pad the batch to a multiple of the data axis
         n_real = len(texts)
         pad_rows = self._dp_pad(n_real)

@@ -376,7 +376,11 @@ def model_serving_details(state: AppState, model_id: str) -> Optional[Dict]:
         return None
     p = m.default_params or {}
     return {
-        "quantization": p.get("quantization") or "int8",
+        # Reflect the EFFECTIVE default when unset: the provider
+        # constructor default is quantization=None (bf16). Fabricating
+        # "int8" here would make a Load-then-Save silently quantize a
+        # model the user never asked to quantize.
+        "quantization": p.get("quantization") or "bf16",
         "parallelism": p.get("parallelism") or "none",
         "draft_model_path": p.get("draft_model_path") or "",
         "speculative_gamma": int(p.get("speculative_gamma", 4)),

@@ -65,6 +65,35 @@ def test_native_quantization_mismatch_rejected(tmp_path):
     QwenTTSModel(PRESETS["tiny"], quantization="int8").save_checkpoint(tmp_path / "q8")
     with pytest.raises(ValueError, match="quantization"):
         QwenTTSModel.from_pretrained(str(tmp_path / "q8"), quantization="int4")
+    # An explicit "none" (dense) request also mismatches an int8 export —
+    # the leaves are already int8 and cannot be de-quantized here.
+    with pytest.raises(ValueError, match="quantization"):
+        QwenTTSModel.from_pretrained(str(tmp_path / "q8"), quantization="none")
+
+
+def test_native_dense_export_can_quantize_on_load(tmp_path):
+    dense = QwenTTSModel(PRESETS["tiny"], seed=4)
+    dense.save_checkpoint(tmp_path / "dense")
+    m = QwenTTSModel.from_pretrained(str(tmp_path / "dense"), quantization="int8")
+    assert m.quantization == "int8"
+    assert m.params["talker"]["blocks"]["wqkv"]["q"].dtype == jnp.int8
+    # And an explicit "none" on a dense export stays dense (labelled None)
+    m2 = QwenTTSModel.from_pretrained(str(tmp_path / "dense"), quantization="none")
+    assert m2.quantization is None
+
+
+def test_preset_inference_not_hijacked_by_demo_presets(tmp_path):
+    """Paths containing 'draft'/'small' must not resolve to the demo
+    presets — only exact names do (a '/ckpts/qwen-0.6b-draft' checkpoint
+    is a 0.6B model exported as a speculative draft, not the 128-hidden
+    demo config)."""
+    from rho_tts_tpu.models.qwen.config import resolve_config
+
+    assert resolve_config("/ckpts/qwen-0.6b-draft").name == "0.6B"
+    assert resolve_config("/ckpts/qwen-1.7b-small-batch").name == "1.7B"
+    assert resolve_config("draft").name == "draft"
+    assert resolve_config("small").name == "small"
+    assert resolve_config("/x/unrelated").name == "1.7B"
 
 
 def test_native_family_mismatch_rejected(tmp_path):

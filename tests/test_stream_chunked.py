@@ -107,6 +107,49 @@ def test_chunked_stream_fallback_when_unsupported():
     assert tts.generate_calls == 3
 
 
+def test_chunked_false_forces_per_segment_yields():
+    """chunked=False (the isolation worker's contract: one SEGMENT_RESULT
+    per text segment) must bypass chunk mode even for chunk-capable
+    providers."""
+    tts = ChunkedFakeTTS()
+    results = list(tts.stream("Just one segment", chunked=False))
+    assert len(results) == 1
+    assert tts.chunk_calls == 0
+    assert tts.generate_calls == 1
+
+
+def test_mid_stream_chunk_failure_skips_tail_and_continues():
+    """A chunk iterator failing mid-segment must NOT emit its held-back
+    lookahead chunk as a trimmed/faded 'final' chunk, and the stream must
+    continue with the next segment (same skip semantics as the
+    non-chunked path)."""
+
+    class FailingChunkedTTS(ChunkedFakeTTS):
+        def _stream_audio_chunks(self, text, cancellation_token=None):
+            self.chunk_calls += 1
+            full = self._full_wave()
+            n = int(self.chunk_sec * SR)
+            fail_this = self.chunk_calls == 1
+
+            def gen():
+                yield full[:n]
+                yield full[n : 2 * n]
+                if fail_this:
+                    raise RuntimeError("device lost mid-decode")
+                for i in range(2, self.n_chunks):
+                    yield full[i * n : (i + 1) * n]
+
+            return gen()
+
+    tts = FailingChunkedTTS(n_chunks=4)
+    results = list(tts.stream("First sentence here. Second sentence here."))
+    # Segment 1: 2 chunks yielded, then failure — only the FIRST chunk was
+    # emitted (the second was the held-back lookahead, dropped). Segment 2
+    # streams fully: n_chunks yields.
+    assert len(results) == 1 + tts.n_chunks
+    assert tts.chunk_calls == 2
+
+
 def test_chunked_stream_bypassed_for_speed_pitch():
     tts = ChunkedFakeTTS()
     results = list(tts.stream("Just one segment", speed=2.0))
@@ -153,5 +196,8 @@ def test_chunked_stream_error_falls_through_gracefully():
 
     tts = FailingChunkTTS()
     results = list(tts.stream("Just one segment"))
-    # the chunk before the failure still arrives (finalized as last chunk)
-    assert len(results) == 1
+    # Failure before any chunk cleared the lookahead buffer: nothing is
+    # emitted (the held-back chunk must not masquerade as a clean final
+    # chunk), matching the non-chunked path where a failed segment yields
+    # nothing — and the stream itself does not raise.
+    assert results == []

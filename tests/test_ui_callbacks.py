@@ -349,7 +349,10 @@ class TestModelServingConfig:
     def test_defaults_and_roundtrip(self, tmp_path, monkeypatch):
         state, m = self._state(tmp_path, monkeypatch)
         d = cb.model_serving_details(state, m.id)
-        assert d == {"quantization": "int8", "parallelism": "none",
+        # Unset quantization reflects the provider's effective default
+        # (quantization=None == bf16), not a fabricated "int8" — a
+        # Load-then-Save must not silently quantize.
+        assert d == {"quantization": "bf16", "parallelism": "none",
                      "draft_model_path": "", "speculative_gamma": 4}
         msg = cb.set_model_serving(state, m.id, "int4", "tensor", "tiny-draft", 6)
         assert msg.startswith("✅")
