@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.watermark import _ENV_WINDOW, apply_watermark
 from ...utils.tokenizer import load_tokenizer
 from .. import transformer as tfm
 from ..qwen import codec as codec_lib
@@ -229,14 +230,16 @@ def _decode_chunk(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _vocode(params, cfg: ChatterboxConfig, tokens):
-    """tokens (B, T) → waveform (B, T*hop), watermarked."""
-    from ...ops.watermark import DEFAULT_KEY, _embed_core
+    """tokens (B, T) → raw waveform (B, T*hop).
 
+    The watermark is embedded AFTER slicing to the true length (in
+    :meth:`ChatterboxModel.generate` / ``stream_chunks``) so streaming
+    windows can align the position-indexed PN chips with the one-shot
+    embed — and so the envelope near the utterance end is computed from
+    real samples, not pad-token garbage.
+    """
     clamped = jnp.minimum(tokens, cfg.codec.codebook_size - 1)
-    wav = codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped[..., None])
-    return jax.vmap(
-        lambda w: _embed_core(w, DEFAULT_KEY) if w.shape[-1] >= 1024 else w
-    )(wav)
+    return codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped[..., None])
 
 
 class ChatterboxModel:
@@ -296,14 +299,20 @@ class ChatterboxModel:
             params = jax.device_put(params)
             cfg = PRESETS.get(manifest.get("preset", implementation), PRESETS["standard"])
             saved_quant = manifest.get("quantization")
-            if quantization not in (None, "none") and saved_quant not in (None, quantization):
+            if saved_quant == "none":
+                saved_quant = None
+            # Same contract as QwenTTSModel.from_pretrained: explicit
+            # requests (incl. "none" = dense) must match a quantized
+            # export; int8/int4 on a dense export quantizes in the ctor.
+            requested = None if quantization == "none" else quantization
+            if quantization is not None and saved_quant is not None and requested != saved_quant:
                 raise ValueError(
                     f"Checkpoint at {model_path} was exported with "
                     f"quantization={saved_quant!r}; cannot serve as {quantization!r}"
                 )
             return cls(
                 cfg, params=params, seed=seed,
-                quantization=quantization or saved_quant, model_path=model_path,
+                quantization=requested or saved_quant, model_path=model_path,
             )
 
         cfg = PRESETS.get(implementation, PRESETS["standard"])
@@ -349,27 +358,24 @@ class ChatterboxModel:
         wav, sr = load_wav(ref_audio_path)
         return self.speaker_encoder.embed_utterance(wav, sr)
 
-    def generate(
+    def _start_decode(
         self,
         text: str,
-        audio_prompt_path: Optional[str] = None,
-        temperature: float = 1.0,
-        cfg_weight: float = 0.6,
-        max_new_tokens: Optional[int] = None,
-        max_cache_len: Optional[int] = None,
-        min_new_tokens: int = 0,
-        rng=None,
-        cancel_check=None,
+        audio_prompt_path: Optional[str],
+        temperature: float,
+        cfg_weight: float,
+        max_new_tokens: Optional[int],
+        max_cache_len: Optional[int],
+        min_new_tokens: int,
+        rng,
     ):
-        """Synthesize one text; returns a 1-D waveform (jax array).
+        """Prompt assembly + prefill + first sampled token.
 
-        ``min_new_tokens`` masks EOS for the first N tokens — a
-        minimum-duration floor (HF-generation-style ``min_new_tokens``;
-        also keeps random-weight throughput benchmarks honest).
+        Shared by :meth:`generate` (device-resident token history, lagged
+        early exit) and :meth:`stream_chunks` (per-chunk fetch + sliding
+        vocode); returns the decode-loop carry as a dict.
         """
         cfg = self.cfg
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
 
         spk = None
         if audio_prompt_path is not None:
@@ -428,7 +434,42 @@ class ChatterboxModel:
             logits = logits.at[:, cfg.speech_eos].set(-1e30)
         tok0 = _cfg_sample(logits, k0, jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight))
         done = tok0 == cfg.speech_eos
-        rope_base = jnp.asarray(lens, jnp.int32)
+        return {
+            "cache_k": cache_k, "cache_v": cache_v, "key_valid": key_valid,
+            "tok0": tok0, "done": done,
+            "rope_base": jnp.asarray(lens, jnp.int32),
+            "p": p, "n_chunks": n_chunks, "rng": rng,
+        }
+
+    def generate(
+        self,
+        text: str,
+        audio_prompt_path: Optional[str] = None,
+        temperature: float = 1.0,
+        cfg_weight: float = 0.6,
+        max_new_tokens: Optional[int] = None,
+        max_cache_len: Optional[int] = None,
+        min_new_tokens: int = 0,
+        rng=None,
+        cancel_check=None,
+    ):
+        """Synthesize one text; returns a 1-D waveform (jax array).
+
+        ``min_new_tokens`` masks EOS for the first N tokens — a
+        minimum-duration floor (HF-generation-style ``min_new_tokens``;
+        also keeps random-weight throughput benchmarks honest).
+        """
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        st = self._start_decode(
+            text, audio_prompt_path, temperature, cfg_weight,
+            max_new_tokens, max_cache_len, min_new_tokens, rng,
+        )
+        cache_k, cache_v, key_valid = st["cache_k"], st["cache_v"], st["key_valid"]
+        tok0, done, rng = st["tok0"], st["done"], st["rng"]
+        rope_base, p, n_chunks = st["rope_base"], st["p"], st["n_chunks"]
 
         # Token/done chunks stay ON DEVICE. Early exit uses a LAGGED flag:
         # chunk k's all-done scalar is fetched while chunk k+1 computes, so
@@ -477,4 +518,101 @@ class ChatterboxModel:
         t_pad = _round_up(toks.shape[0], CHUNK)
         batch = jnp.asarray(np.pad(toks, (0, t_pad - toks.shape[0]))[None])
         wav = _vocode(self.params, cfg, batch)
-        return wav[0, : toks.shape[0] * cfg.codec.hop]
+        return apply_watermark(wav[0, : toks.shape[0] * cfg.codec.hop])
+
+    def stream_chunks(
+        self,
+        text: str,
+        audio_prompt_path: Optional[str] = None,
+        temperature: float = 1.0,
+        cfg_weight: float = 0.6,
+        max_new_tokens: Optional[int] = None,
+        max_cache_len: Optional[int] = None,
+        min_new_tokens: int = 0,
+        rng=None,
+        cancel_check=None,
+        context_frames: int = 32,
+    ):
+        """Incremental synthesis: yields waveform pieces per decode chunk.
+
+        Same sliding-window vocode design as
+        ``QwenTTSModel.stream_chunks`` (the conv vocoder is local, so a
+        window with ``context_frames`` of context reproduces the
+        full-utterance vocode for every emitted sample; golden-tested vs
+        :meth:`generate`). The watermark's PN chips are position-indexed
+        (``ops.watermark``), so each window is embedded at its absolute
+        sample offset — the concatenated stream carries the SAME watermark
+        as the one-shot path and detects with ``detect_watermark(...,
+        offset=0)`` on the full stream.
+
+        Yields ``(waveform_piece (S,), sample_rate)``. Single stream.
+        """
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        st = self._start_decode(
+            text, audio_prompt_path, temperature, cfg_weight,
+            max_new_tokens, max_cache_len, min_new_tokens, rng,
+        )
+        cache_k, cache_v, key_valid = st["cache_k"], st["cache_v"], st["key_valid"]
+        last_tok, done, rng = st["tok0"], st["done"], st["rng"]
+        rope_base, p, n_chunks = st["rope_base"], st["p"], st["n_chunks"]
+
+        hop = cfg.codec.hop
+        toks_np = np.asarray(last_tok)[:1]  # cond-row token history, grows
+        finished = bool(np.asarray(done)[0])
+        emitted = 0  # frames already yielded
+        slot0 = jnp.int32(p)
+
+        def vocode_span(lo: int, hi: int, emit_from: int, emit_to: int):
+            """Vocode toks[lo:hi]; return watermarked samples for frames
+            [emit_from, emit_to). ``lo`` is widened so the window always
+            holds at least one envelope window of samples (relevant for
+            tiny-config hops)."""
+            need = -(-_ENV_WINDOW // hop) + 1
+            lo = min(lo, max(hi - need, 0))
+            window = toks_np[lo:hi]
+            t = _round_up(window.shape[0], CHUNK)
+            batch = jnp.asarray(np.pad(window, (0, t - window.shape[0]))[None])
+            wav = _vocode(self.params, cfg, batch)[0, : (hi - lo) * hop]
+            marked = apply_watermark(wav, offset=lo * hop)
+            return marked[(emit_from - lo) * hop : (emit_to - lo) * hop]
+
+        for _ in range(n_chunks):
+            if finished:
+                break
+            if cancel_check is not None:
+                cancel_check()
+            (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
+                self.params, cfg, cache_k, cache_v, key_valid,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
+                jnp.float32(temperature), jnp.float32(cfg_weight),
+                slot0 - jnp.int32(p) + 1, jnp.int32(min_new_tokens),
+                CHUNK, cfg.top_k,
+            )
+            slot0 = slot0 + CHUNK
+            tt, dd = jax.device_get((toks, dones))
+            tt, dd = np.asarray(tt)[0], np.asarray(dd)[0]
+            hit = np.nonzero(dd)[0]
+            if hit.size:
+                tt = tt[: int(hit[0]) + 1]
+                finished = True
+            toks_np = np.concatenate([toks_np, tt])
+            if finished and toks_np.shape[0] > 1 and (
+                toks_np[-1] >= cfg.codec.codebook_size
+            ):
+                toks_np = toks_np[:-1]  # drop the EOS/pad frame itself
+            total = toks_np.shape[0]
+
+            safe = total if finished else max(total - context_frames, 0)
+            if safe > emitted:
+                lo = max(emitted - context_frames, 0)
+                piece = vocode_span(lo, total, emitted, safe)
+                emitted = safe
+                yield piece, self.sr
+
+        if emitted < toks_np.shape[0]:  # final flush (max_new reached)
+            total = toks_np.shape[0]
+            lo = max(emitted - context_frames, 0)
+            yield vocode_span(lo, total, emitted, total), self.sr

@@ -144,6 +144,34 @@ class ChatterboxTTS(BaseTTS):
             **gen_kwargs,
         )
 
+    def _stream_audio_chunks(self, text: str, cancellation_token=None):
+        """Chunked streaming via the model's sliding-window vocoder.
+
+        First audio after one decode chunk instead of after the whole
+        segment; the position-indexed watermark keeps the concatenated
+        stream bit-compatible with the one-shot path (parity+ over the
+        reference, which has no sub-segment streaming).
+        """
+        prompt_path = self.reference_audio_path if self.voice_cloning else None
+        if prompt_path:
+            if prompt_path not in self._prompt_cache:
+                self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
+            self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
+
+        kw = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
+        if self.min_audio_sec > 0:
+            kw["min_new_tokens"] = int(
+                self.min_audio_sec * self.model.cfg.codec.frame_rate
+            )
+        cancel_check = (
+            cancellation_token.raise_if_cancelled if cancellation_token else None
+        )
+        gen = self.model.stream_chunks(
+            text, audio_prompt_path=None, rng=self.next_rng(),
+            cancel_check=cancel_check, **kw,
+        )
+        return (wav for wav, _sr in gen)
+
     def close(self) -> None:
         """Release model parameters and conditionals cache."""
         super().close()

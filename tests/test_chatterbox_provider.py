@@ -72,34 +72,39 @@ def test_generation_deterministic_per_seed(tts):
     np.testing.assert_allclose(a1, a2, atol=1e-6)
 
 
-def test_watermark_present(tts):
-    """The vocode path embeds the spread-spectrum watermark.
+def test_watermark_present(tts, monkeypatch):
+    """The generate path embeds the spread-spectrum watermark.
 
     Statistical detection needs long/tonal audio (random-weight vocoder
     output is noise-like, burying a −50 dB watermark), so assert the
-    embedding EXACTLY: vocoded audio == raw codec decode + watermark.
-    Detection strength itself is covered by TestWatermarkOp on favorable
-    signals.
+    embedding EXACTLY: generate() output == raw sliced vocode + watermark
+    (the embed happens after slicing to true length — see
+    ``ChatterboxModel.generate``). Detection strength itself is covered
+    by TestWatermarkOp on favorable signals.
     """
-    import jax.numpy as jnp
+    import jax
 
     from rho_tts_tpu.models.chatterbox import model as cbm
-    from rho_tts_tpu.models.qwen import codec as codec_lib
     from rho_tts_tpu.ops.watermark import apply_watermark
 
-    tts._generate_audio("warm the model")  # ensure tts.model exists
-    cfg = tts.model.cfg
-    rng = np.random.default_rng(0)
-    toks = jnp.asarray(
-        rng.integers(0, cfg.codec.codebook_size, (1, 1024)), jnp.int32
+    captured = {}
+    orig = cbm._vocode
+
+    def spy(params, cfg, toks):
+        out = orig(params, cfg, toks)
+        captured["raw"] = out
+        return out
+
+    monkeypatch.setattr(cbm, "_vocode", spy)
+    wav = np.asarray(
+        tts.model.generate(
+            "watermark exactness", rng=jax.random.PRNGKey(7), min_new_tokens=160
+        )
     )
-    vocoded = np.asarray(cbm._vocode(tts.model.params, cfg, toks)[0])
-    raw = codec_lib.decode_from_codes(
-        tts.model.params["codec"], cfg.codec, toks[..., None]
-    )[0]
+    raw = np.asarray(captured["raw"][0, : wav.shape[0]])
     expected = np.asarray(apply_watermark(raw))
-    assert not np.allclose(vocoded, np.asarray(raw))  # something was added
-    np.testing.assert_allclose(vocoded, expected, atol=1e-6)
+    assert not np.allclose(wav, raw)  # something was added
+    np.testing.assert_allclose(wav, expected, atol=1e-6)
 
 
 class TestWatermarkOp:
@@ -122,3 +127,31 @@ class TestWatermarkOp:
 
         marked = np.asarray(apply_watermark(audio, key=123))
         assert detect_watermark(marked, key=456) < 5.0
+
+    def test_offset_windows_align_with_full_embed(self):
+        """Position-indexed PN: embedding a window at its absolute offset
+        produces the SAME chips as the full-utterance embed (interior
+        samples exact; only the envelope's ±512-sample edge differs)."""
+        rng = np.random.default_rng(1)
+        audio = (0.3 * np.sin(np.arange(48000) / 17) + 0.01 * rng.standard_normal(48000)).astype(
+            np.float32
+        )
+        from rho_tts_tpu.ops.watermark import apply_watermark
+
+        full = np.asarray(apply_watermark(audio))
+        lo, hi = 10000, 30000
+        win = np.asarray(apply_watermark(audio[lo:hi], offset=lo))
+        # Interior of the window (≥512 from its edges) matches exactly
+        np.testing.assert_allclose(win[512:-512], full[lo + 512 : hi - 512], atol=1e-6)
+
+    def test_detect_on_known_offset_crop(self):
+        rng = np.random.default_rng(2)
+        audio = (0.3 * np.sin(np.arange(48000) / 23) + 0.01 * rng.standard_normal(48000)).astype(
+            np.float32
+        )
+        from rho_tts_tpu.ops.watermark import apply_watermark, detect_watermark
+
+        marked = np.asarray(apply_watermark(audio))
+        crop = marked[9000:33000]
+        assert detect_watermark(crop, offset=9000) > 5.0
+        assert detect_watermark(crop) < 5.0  # unknown offset → chips misalign
