@@ -546,6 +546,98 @@ def bench_coldstart():
     }))
 
 
+def bench_serve():
+    """Continuous-batching serving throughput (rho_tts_tpu.serving).
+
+    Saturated offered load with a RAGGED length mix — the regime where
+    continuous batching wins: a static batch runs at the pace of its
+    longest member and then sits idle, while the slot batch refills the
+    moment a row retires. Lengths are pinned via min_frames == max_frames
+    (random weights would otherwise EOS at arbitrary points and make runs
+    incomparable). Baseline: the SAME workload through the one-shot
+    batch-5 ``synthesize`` path (the reference's batching model,
+    /root/reference/src/rho_tts/providers/qwen.py:247-258).
+    """
+    import numpy as np
+
+    from rho_tts_tpu.models.qwen import PRESETS
+    from rho_tts_tpu.models.qwen.model import QwenTTSModel
+    from rho_tts_tpu.serving import ServingEngine
+
+    preset = os.environ.get("BENCH_PRESET", "1.7B")
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
+    n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    n_reqs = int(os.environ.get("BENCH_SERVE_REQS", "24"))
+
+    t0 = time.time()
+    model = QwenTTSModel(PRESETS[preset], seed=0, quantization=quant)
+    log(f"serve: init {preset} quant={quant} in {time.time()-t0:.1f}s")
+    frame_rate = model.config.codec.frame_rate
+
+    rng = np.random.default_rng(0)
+    lengths = rng.choice([128, 192, 256, 384, 512], size=n_reqs).tolist()
+    texts = [
+        f"Serving request number {i} with a ragged target length." for i in range(n_reqs)
+    ]
+
+    def run_serving():
+        eng = ServingEngine(
+            model, n_slots=n_slots, max_prompt=64, max_frames=512, top_k=4
+        )
+        t0 = time.time()
+        reqs = [
+            eng.submit(t, min_frames=n, max_frames=n)
+            for t, n in zip(texts, lengths)
+        ]
+        eng.run_until_idle()
+        wall = time.time() - t0
+        # Force the last vocodes to completion (relay: fetch, don't trust
+        # block_until_ready)
+        sync(reqs[-1].wav)
+        wall_sync = time.time() - t0
+        return eng, reqs, wall, wall_sync
+
+    # Pass 1 warms every compiled shape (prefill A-buckets, serve chunk,
+    # insert, vocode buckets); pass 2 is the measurement.
+    run_serving()
+    eng, reqs, wall, wall_sync = run_serving()
+    audio_sec = sum(r.n_frames for r in reqs) / frame_rate
+    rtf = audio_sec / wall_sync
+    log(f"serve: {n_reqs} reqs x {n_slots} slots, {audio_sec:.0f}s audio in "
+        f"{wall_sync:.2f}s → aggregate RTF {rtf:.1f} "
+        f"(p50 latency {np.median([r.t_done - r.t_submit for r in reqs]):.2f}s, "
+        f"p99 {np.percentile([r.t_done - r.t_submit for r in reqs], 99):.2f}s)")
+
+    # Static batch-5 baseline on the same workload (warm then measure)
+    def run_static():
+        t0 = time.time()
+        for i in range(0, n_reqs, 5):
+            batch_texts = texts[i : i + 5]
+            mx = max(lengths[i : i + 5])
+            waves, _sr = model.synthesize(
+                batch_texts, min_frames=mx, max_frames=mx, top_k=4
+            )
+        sync(waves[-1])
+        return time.time() - t0
+
+    run_static()
+    static_wall = run_static()
+    # Credit both paths only with the REQUESTED audio: the static batch
+    # decodes every row to its batch max, but the padding isn't useful
+    # output — that overhang is exactly what continuous batching removes.
+    static_rtf = audio_sec / static_wall
+    log(f"serve: static batch-5 baseline delivers the same {audio_sec:.0f}s "
+        f"useful audio in {static_wall:.2f}s → RTF {static_rtf:.1f}; "
+        f"continuous-batching speedup {rtf/static_rtf:.2f}x")
+    print(json.dumps({
+        "metric": "serving_aggregate_rtf_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+    }))
+
+
 def bench_chatterbox():
     """Config 4: Chatterbox-class single-segment voice clone, full loop."""
     import numpy as np
@@ -619,6 +711,8 @@ def main():
         return bench_spec_distill()
     if mode == "coldstart":
         return bench_coldstart()
+    if mode == "serve":
+        return bench_serve()
     if mode == "ttfa":
         return bench_ttfa()
 

@@ -224,6 +224,7 @@ def _block_forward_cached(
     key_valid: Optional[jnp.ndarray],  # (B, S), ALREADY includes new slots
     fused_prefill: bool,
     kv_window: Optional[int] = None,  # static: attend only to slots [0, kv_window)
+    slot_causal: bool = True,  # static: slot index reflects time order
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One cached transformer block, writing into the stacked cache.
 
@@ -241,6 +242,14 @@ def _block_forward_cached(
     cache, cutting per-step attention HBM traffic proportionally. The
     caller guarantees every occupied (and newly written) slot is below
     the window.
+
+    ``slot_causal=False`` (static) drops the slot-order causality term
+    from the mask, leaving ``key_valid`` as the only gate. Correct ONLY
+    for single-token decode steps (T==1): the query is the newest token
+    and may attend to every valid slot regardless of where it sits.
+    This is what ring-buffer KV caches need (``rho_tts_tpu.serving``):
+    after a wrap, a row's older keys live at HIGHER slot indices than
+    the write column, which the positional term would wrongly mask.
     """
     b, t, _ = x.shape
     scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -271,11 +280,14 @@ def _block_forward_cached(
     else:
         w = s if kv_window is None else min(kv_window, s)
         scores = _gqa_scores(q, ck_all[layer][:, :w]) * scale  # (B, Hq, T, w)
-        key_pos = jnp.arange(w)[None, None, None, :]
-        query_abs = (slot + jnp.arange(t))[None, None, :, None]  # (1,1,T,1)
-        mask = key_pos <= query_abs
-        if key_valid is not None:
-            mask = mask & key_valid[:, None, None, :w]
+        if slot_causal:
+            key_pos = jnp.arange(w)[None, None, None, :]
+            query_abs = (slot + jnp.arange(t))[None, None, :, None]  # (1,1,T,1)
+            mask = key_pos <= query_abs
+            if key_valid is not None:
+                mask = mask & key_valid[:, None, None, :w]
+        else:
+            mask = key_valid[:, None, None, :w]
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = _gqa_mix(probs, cv_all[layer][:, :w])  # (B, T, Hq, D)
@@ -302,6 +314,8 @@ def stack_forward(
     fused_prefill: bool = False,
     kv_window: Optional[int] = None,  # static attention-read bound (see
     # _block_forward_cached)
+    slot_causal: bool = True,  # static; False = key_valid-only mask (T==1
+    # ring-buffer decode, see _block_forward_cached)
 ):
     """Run the full block stack via scan-over-layers.
 
@@ -339,7 +353,7 @@ def stack_forward(
             lp = jax.tree.map(lambda a: a[layer], blocks)
             x, ck_all, cv_all = _block_forward_cached(
                 lp, cfg, x, positions, ck_all, cv_all, layer, slot,
-                attn_mask, key_valid, fused_prefill, kv_window,
+                attn_mask, key_valid, fused_prefill, kv_window, slot_causal,
             )
         ks, vs = ck_all, cv_all
 

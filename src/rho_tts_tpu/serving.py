@@ -1,0 +1,762 @@
+"""Continuous-batching serving engine for the codec-LM TTS models.
+
+The reference serves requests one ``generate()`` call at a time (its only
+batching is a caller-assembled list, ``/root/reference/src/rho_tts/
+providers/qwen.py:247-258``). On TPU the decode program's cost is set by
+the static batch shape, not by how many rows carry real work — so the
+serving-native design is a fixed SLOT BATCH that requests join and leave
+at decode-chunk boundaries ("continuous batching" / in-flight batching):
+
+* **Ring-buffer KV cache.** One (L, B, S, Hkv, D) cache; all rows write
+  the SAME global column each step (the batch-uniform
+  ``dynamic_update_slice`` that benches 1.6x faster than per-row
+  scatter), and the column index wraps mod S. Correctness does not care
+  where a token sits in the ring: RoPE encodes position (keys are
+  rotated by per-row logical positions at write time) and ``key_valid``
+  masks each row to exactly its own live history — so the attention mask
+  drops the slot-order causality term (``slot_causal=False``; valid for
+  single-token steps, where the query is always the newest token).
+
+* **Admission at chunk boundaries.** New requests prefill into a fresh
+  contiguous (L, A, P, Hkv, D) cache with the existing bucketed prefill
+  program, then their rows are scattered into the ring at columns
+  ``[(col-P) mod S, col)``. A row's prompt therefore sits wherever the
+  global column happened to be — valid for the same reason as the ring.
+
+* **Per-row decode state.** RoPE base, frame counter, EOS floor
+  (min_frames), and temperature are per-row arrays; retired/empty slots
+  ride along as masked rows (their compute is already paid for by the
+  static shape).
+
+* **Lagged harvest.** Chunk k's codes/done flags are fetched while chunk
+  k+1 executes (the same overlap trick as ``generate_codes``), so the
+  device never stalls on the host; retirement and admission run one
+  chunk behind, which the ring capacity accounts for.
+
+Per-request sampling is NOT bit-reproducible across different schedules
+(rows share one RNG stream and draws depend on slot assignment); with
+``top_k=1`` (greedy) results are schedule-independent and match
+``QwenTTSModel.generate_codes`` exactly, which is what the parity tests
+pin. Reference scope note: the reference has no serving engine at all —
+this is a parity+ subsystem; its closest analogue is the request queue a
+deployment would put in front of ``base_tts.generate``.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import transformer as tfm
+from .models.qwen.model import (
+    PROMPT_BUCKET,
+    QwenTTSModel,
+    _chunk,
+    _predict_residuals,
+    _prefill,
+    _round_up,
+    _vocode,
+)
+
+logger = logging.getLogger(__name__)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Compiled programs
+# ---------------------------------------------------------------------------
+
+
+def _sample_rowtemp(logits, rng, temperature, top_k: int):
+    """Top-k gumbel sampling with PER-ROW temperature ((B,) array).
+
+    ``top_k=1`` is exact greedy (argmax), independent of rng and
+    temperature — the schedule-invariant mode the parity tests use.
+    """
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
+    vals, idxs = jax.lax.top_k(logits, top_k)
+    g = jax.random.gumbel(rng, vals.shape)
+    choice = jnp.argmax(vals + g, axis=-1)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2, 3))
+def _serve_decode_chunk(
+    params: Params,
+    cache_k: jnp.ndarray,  # (L, B, S, Hkv, D) ring
+    cache_v: jnp.ndarray,
+    key_valid: jnp.ndarray,  # (B, S)
+    cfg,  # QwenTTSConfig (static)
+    col0: jnp.ndarray,  # scalar int32: global write column of step 0, already mod S
+    rope_next: jnp.ndarray,  # (B,) rope position of this chunk's first token
+    last_codes: jnp.ndarray,  # (B, nq)
+    done: jnp.ndarray,  # (B,) bool
+    active: jnp.ndarray,  # (B,) bool — row holds a live request
+    rng: jnp.ndarray,
+    temperature: jnp.ndarray,  # (B,) f32
+    frames_done: jnp.ndarray,  # (B,) int32: frames generated so far per row
+    min_frames: jnp.ndarray,  # (B,) int32: EOS suppressed below this
+    steps: int,
+    top_k: int,
+):
+    """One compiled decode chunk over the slot batch (ring-buffer writes).
+
+    Differs from ``models.qwen.model._decode_chunk`` in exactly the ways
+    serving needs: per-row EOS floor (``frames_done``/``min_frames`` are
+    (B,) arrays, rows joined at different times), a write column that
+    wraps mod S, ``slot_causal=False`` attention (ring order ≠ time
+    order), and an ``active`` mask so empty slots never mark cache
+    columns valid.
+
+    Every per-row state array lives ON DEVICE between chunks (the chunk
+    returns ``rope_next``/``frames_done`` advanced by ``steps``); the
+    scheduler only dispatches and reads back the lagged codes/done
+    flags. On relay-attached hosts each host→device upload costs a
+    round trip, so per-chunk state uploads were the dominant serving
+    overhead before this layout.
+    """
+    b = last_codes.shape[0]
+    nq = cfg.codec.n_codebooks
+    s = cache_k.shape[2]
+
+    def step(carry, t):
+        cache_k, cache_v, key_valid, last_codes, done, rng = carry
+        embs = params["audio_embed"]  # (nq, V, H)
+        emb = jnp.zeros((b, embs.shape[-1]), embs.dtype)
+        for q in range(nq):
+            emb = emb + embs[q][last_codes[:, q]]
+        x = emb[:, None, :]
+
+        pos = (rope_next + t)[:, None]  # (B, 1)
+        slot = jnp.mod(col0 + t, s)
+        h, (cache_k, cache_v) = tfm.stack_forward(
+            params["talker"],
+            cfg.talker,
+            x,
+            pos,
+            kv_caches=(cache_k, cache_v),
+            cache_len=slot,
+            attn_mask=active[:, None],
+            key_valid=key_valid,
+            slot_causal=False,
+        )
+        key_valid = key_valid.at[:, slot].set(active)
+        h_last = h[:, -1]
+        logits = jax.lax.dot(
+            h_last, params["lm_head"], preferred_element_type=jnp.float32
+        )
+
+        rng, k = jax.random.split(rng)
+        suppress = (frames_done + t) < min_frames  # (B,)
+        eos_col = jnp.where(suppress, -1e30, logits[:, cfg.audio_eos])
+        logits = logits.at[:, cfg.audio_eos].set(eos_col)
+        tok0 = _sample_rowtemp(logits, k, temperature, top_k)
+        newly_done = tok0 == cfg.audio_eos
+        dead = done | ~active
+        tok0 = jnp.where(dead, cfg.audio_pad, tok0)
+
+        res = _predict_residuals(
+            params, cfg, h_last, jnp.minimum(tok0, cfg.codec.codebook_size - 1)
+        )
+        res = jnp.where(dead[:, None], 0, res)
+        codes = jnp.concatenate([tok0[:, None], res], axis=-1)
+
+        done = done | newly_done
+        return (cache_k, cache_v, key_valid, codes, done, rng), (codes, done)
+
+    carry0 = (cache_k, cache_v, key_valid, last_codes, done, rng)
+    carry, (codes_seq, done_seq) = jax.lax.scan(step, carry0, jnp.arange(steps))
+    cache_k, cache_v, key_valid, last_codes, done, rng = carry
+    return (
+        jnp.transpose(codes_seq, (1, 0, 2)),  # (B, steps, nq)
+        jnp.transpose(done_seq, (1, 0)),  # (B, steps)
+        cache_k,
+        cache_v,
+        key_valid,
+        last_codes,
+        done,
+        rng,
+        rope_next + steps,
+        frames_done + steps,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert_rows(
+    cache_k: jnp.ndarray,  # (L, B, S, Hkv, D) ring
+    cache_v: jnp.ndarray,
+    key_valid: jnp.ndarray,  # (B, S)
+    rows: jnp.ndarray,  # (A,) int32 slot indices being admitted
+    pk: jnp.ndarray,  # (L, A, P, Hkv, D) prefilled prompt K
+    pv: jnp.ndarray,
+    pvalid: jnp.ndarray,  # (A, P) bool — real prompt tokens (left-padded)
+    col0: jnp.ndarray,  # scalar int32: prompts end at this column (exclusive), mod S
+):
+    """Scatter freshly prefilled prompt rows into the ring cache.
+
+    The prompt occupies columns ``[(col0-P) mod S, col0)`` of each row —
+    anywhere in the ring is correct because keys carry RoPE rotations by
+    logical position, not by slot. The admitted rows' ``key_valid`` is
+    rebuilt from scratch (True only on real prompt columns), erasing
+    whatever the slot's previous occupant left behind.
+
+    Duplicate entries in ``rows`` (bucket padding repeats the last admit)
+    write identical data, so scatter order doesn't matter.
+    """
+    s = cache_k.shape[2]
+    p = pk.shape[2]
+    cols = jnp.mod(col0 - p + jnp.arange(p), s)  # (P,)
+    a = rows.shape[0]
+    fresh = jnp.zeros((a, s), bool).at[:, cols].set(pvalid)
+    key_valid = key_valid.at[rows].set(fresh)
+    cache_k = cache_k.at[:, rows[:, None], cols[None, :]].set(pk.astype(cache_k.dtype))
+    cache_v = cache_v.at[:, rows[:, None], cols[None, :]].set(pv.astype(cache_v.dtype))
+    return cache_k, cache_v, key_valid
+
+
+@partial(jax.jit, static_argnames=("top_k", "eos"))
+def _admit_sample(logits, rng, min_frames, temperature, top_k: int, eos: int):
+    """Sample each admitted row's first token from its prefill logits
+    (EOS suppressed where the row has a min-frames floor). Stays on
+    device — the host never waits on prefill completion."""
+    eos_col = jnp.where(min_frames > 0, -1e30, logits[:, eos])
+    logits = logits.at[:, eos].set(eos_col)
+    tok0 = _sample_rowtemp(logits, rng, temperature, top_k)
+    return tok0, tok0 == eos
+
+
+@jax.jit
+def _admit_full(
+    last_codes, done, active, rope_next, frames_done, min_frames, temperature,
+    rows, tok0, done0, lens, minf, temps,
+):
+    """Write the admitted rows into every device-resident state carry.
+
+    Duplicate ``rows`` entries (bucket padding) carry identical values.
+    """
+    nq = last_codes.shape[1]
+    first = jnp.concatenate(
+        [tok0[:, None], jnp.zeros((tok0.shape[0], nq - 1), jnp.int32)], axis=-1
+    )
+    return (
+        last_codes.at[rows].set(first),
+        done.at[rows].set(done0),
+        active.at[rows].set(True),
+        rope_next.at[rows].set(lens),
+        frames_done.at[rows].set(1),  # frame 0 = the prefill-sampled token
+        min_frames.at[rows].set(minf),
+        temperature.at[rows].set(temps),
+    )
+
+
+@jax.jit
+def _clear_rows(active, done, rows):
+    """Deactivate retired rows (they keep decoding pads until re-admitted)."""
+    return active.at[rows].set(False), done.at[rows].set(True)
+
+
+# ---------------------------------------------------------------------------
+# Requests
+# ---------------------------------------------------------------------------
+
+
+class ServeRequest:
+    """Handle for one submitted utterance; a minimal future."""
+
+    def __init__(
+        self,
+        text: str,
+        speaker: Optional[str],
+        language: str,
+        ref_audio: Optional[str],
+        ref_text: Optional[str],
+        min_frames: int,
+        max_frames: int,
+        temperature: float,
+    ):
+        self.text = text
+        self.speaker = speaker
+        self.language = language
+        self.ref_audio = ref_audio
+        self.ref_text = ref_text
+        self.min_frames = int(min_frames)
+        self.max_frames = int(max_frames)
+        self.temperature = float(temperature)
+
+        self._event = threading.Event()
+        self._cancelled = threading.Event()
+        self.wav: Optional[jnp.ndarray] = None  # device array until fetched
+        self.codes: Optional[np.ndarray] = None  # trimmed (n_frames, nq)
+        self.sample_rate: Optional[int] = None
+        self.error: Optional[BaseException] = None
+        self.n_frames: int = 0
+        self.t_submit = time.time()
+        self.t_admit: Optional[float] = None
+        self.t_done: Optional[float] = None
+
+    def cancel(self) -> None:
+        """Cooperative cancel: queued requests are dropped at admission,
+        active ones retired (without vocoding) at the next chunk boundary."""
+        self._cancelled.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def result(self, timeout: Optional[float] = None) -> Tuple[np.ndarray, int]:
+        """Block until finished; returns (waveform (T,) float32, sr).
+
+        Raises the stored error on failure and ``RuntimeError`` on
+        cancellation or timeout. The waveform stays a device array until
+        this call fetches it (serving throughput never pays host
+        transfer for unfetched audio).
+        """
+        if not self._event.wait(timeout):
+            raise TimeoutError(f"request not finished after {timeout}s")
+        if self.error is not None:
+            raise self.error
+        if self.cancelled:
+            raise RuntimeError("request was cancelled")
+        return np.asarray(self.wav), int(self.sample_rate)
+
+    def _resolve(self) -> None:
+        self.t_done = time.time()
+        self._event.set()
+
+
+class _Slot:
+    """Host-side bookkeeping for one batch row."""
+
+    __slots__ = ("req", "codes", "done_seen", "frames", "first_tok")
+
+    def __init__(self):
+        self.req: Optional[ServeRequest] = None
+        self.codes: List[np.ndarray] = []  # harvested (steps, nq) pieces
+        self.done_seen: Optional[int] = None  # frame idx of first EOS, if seen
+        self.frames = 0  # frames harvested so far (incl. frame 0)
+        # Frame 0's primary code stays a DEVICE ref (fetched only at
+        # retirement): fetching it at admission would stall the decode
+        # stream on prefill completion.
+        self.first_tok = None  # (tok0_device_array, row_index)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+class ServingEngine:
+    """Slot-batched continuous serving over one :class:`QwenTTSModel`.
+
+    ``n_slots`` fixes the decode batch (the compiled shape); ``max_prompt``
+    and ``max_frames`` bound a request's prompt tokens and generated
+    frames, which together size the KV ring. Submit from any thread;
+    drive with :meth:`step` / :meth:`run_until_idle` (deterministic,
+    test-friendly) or :meth:`start` (background thread).
+    """
+
+    def __init__(
+        self,
+        model: QwenTTSModel,
+        n_slots: int = 8,
+        max_prompt: int = 256,
+        max_frames: int = 768,
+        top_k: Optional[int] = None,
+        seed: int = 0,
+    ):
+        if model.mesh is not None:
+            raise ValueError(
+                "ServingEngine drives a single-chip model; mesh serving "
+                "composes at the engine level (one engine per replica)"
+            )
+        self.model = model
+        self.cfg = model.config
+        self.chunk = _chunk()
+        self.n_slots = int(n_slots)
+        self.max_prompt = _round_up(int(max_prompt), PROMPT_BUCKET)
+        self.max_frames = _round_up(int(max_frames), self.chunk)
+        self.top_k = int(self.cfg.top_k if top_k is None else top_k)
+        # Ring capacity: prompt + generated frames + one chunk of lagged-
+        # retirement slack (rows decode one surplus chunk while their last
+        # harvest is in flight).
+        self.ring = self.max_prompt + self.max_frames + self.chunk
+
+        cache_k, cache_v = tfm.make_kv_cache(self.cfg.talker, self.n_slots, self.ring)
+        self._cache_k, self._cache_v = cache_k, cache_v
+        self._key_valid = jnp.zeros((self.n_slots, self.ring), bool)
+        # Per-row decode state: ALL device-resident between chunks (the
+        # chunk program advances rope/frame counters itself); the host
+        # only tracks which slot belongs to which request.
+        self._last_codes = jnp.zeros(
+            (self.n_slots, self.cfg.codec.n_codebooks), jnp.int32
+        )
+        self._done = jnp.ones((self.n_slots,), bool)
+        self._active_dev = jnp.zeros((self.n_slots,), bool)
+        self._rope_next = jnp.zeros((self.n_slots,), jnp.int32)
+        self._frames_done = jnp.zeros((self.n_slots,), jnp.int32)
+        self._min_frames = jnp.zeros((self.n_slots,), jnp.int32)
+        self._temp = jnp.full((self.n_slots,), self.cfg.temperature, jnp.float32)
+        self._rng = jax.random.PRNGKey(seed)
+
+        self._active = np.zeros(self.n_slots, bool)  # host mirror (scheduling)
+        self._slots = [_Slot() for _ in range(self.n_slots)]
+
+        self._col = 0  # global write column (kept in [0, ring))
+        self._queue: deque[ServeRequest] = deque()
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        # Lagged harvest: (codes_dev, done_dev, row→slot snapshot)
+        self._pending: Optional[Tuple[Any, Any, List[Optional[ServeRequest]]]] = None
+
+        # Stats
+        self.frames_decoded = 0  # real (harvested, pre-EOS) frames
+        self.frames_delivered = 0  # frames in resolved waveforms
+        self.requests_done = 0
+        self._t_first: Optional[float] = None
+        self._t_last: Optional[float] = None
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        language: str = "English",
+        ref_audio: Optional[str] = None,
+        ref_text: Optional[str] = None,
+        min_frames: int = 0,
+        max_frames: Optional[int] = None,
+        temperature: Optional[float] = None,
+    ) -> ServeRequest:
+        """Queue one utterance; returns a future-like :class:`ServeRequest`."""
+        if max_frames is None:
+            max_frames = int(np.clip(len(text) * 1.0 + 50, self.chunk, self.max_frames))
+        max_frames = min(_round_up(int(max_frames), self.chunk), self.max_frames)
+        req = ServeRequest(
+            text,
+            speaker,
+            language,
+            ref_audio,
+            ref_text,
+            min_frames=min(int(min_frames), max_frames),
+            max_frames=max_frames,
+            temperature=self.cfg.temperature if temperature is None else temperature,
+        )
+        with self._wake:
+            self._queue.append(req)
+            self._wake.notify()
+        return req
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _free_rows(self) -> List[int]:
+        return [i for i in range(self.n_slots) if not self._active[i]]
+
+    def _admit(self) -> int:
+        """Move queued requests into free slots; one bucketed prefill per
+        admission group. Returns the number admitted."""
+        free = self._free_rows()
+        picked: List[ServeRequest] = []
+        with self._lock:
+            while free[len(picked):] and self._queue:
+                req = self._queue.popleft()
+                if req.cancelled:
+                    req._resolve()
+                    continue
+                picked.append(req)
+        if not picked:
+            return 0
+
+        # Build per-request prompt arrays (each may carry its own speaker /
+        # reference audio), then left-pad to the group bucket and stack.
+        built = []
+        for req in picked:
+            arrays, lens, p = self.model._build_prompt_arrays(
+                [req.text], req.speaker, req.language, req.ref_audio, req.ref_text
+            )
+            if lens[0] > self.max_prompt:
+                req.error = ValueError(
+                    f"prompt is {lens[0]} tokens; engine max_prompt={self.max_prompt}"
+                )
+                req._resolve()
+                continue
+            built.append((req, arrays, lens[0], p))
+        if not built:
+            return 0
+
+        p_group = max(p for _, _, _, p in built)
+        a_real = len(built)
+        a = 1 << (a_real - 1).bit_length()  # admit-batch bucket (1,2,4,8,…)
+        rows_real = free[:a_real]
+
+        def pad_row(arrays, n, p_from):
+            """Left-extend one request's arrays from p_from to p_group."""
+            d = p_group - p_from
+            out = {}
+            out["ids_slotted"] = np.pad(arrays["ids_slotted"], ((0, 0), (d, 0)))
+            out["text_mask"] = np.pad(arrays["text_mask"], ((0, 0), (d, 0)))
+            out["codes_slotted"] = np.pad(
+                arrays["codes_slotted"], ((0, 0), (d, 0), (0, 0))
+            )
+            out["code_mask"] = np.pad(arrays["code_mask"], ((0, 0), (d, 0)))
+            out["spk_ids"] = arrays["spk_ids"]
+            out["spk_mask"] = np.pad(arrays["spk_mask"], ((0, 0), (d, 0)))
+            out["rope_pos"] = np.maximum(
+                np.arange(p_group, dtype=np.int32) - (p_group - n), 0
+            )[None]
+            out["attn_mask"] = (np.arange(p_group) >= (p_group - n))[None]
+            return out
+
+        stacked = {}
+        padded = [pad_row(arrays, n, p) for _, arrays, n, p in built]
+        for k in padded[0]:
+            rows = [pr[k] for pr in padded]
+            rows += [rows[-1]] * (a - a_real)  # bucket padding repeats last
+            stacked[k] = np.concatenate(rows, axis=0)
+
+        pk, pv = tfm.make_kv_cache(self.cfg.talker, a, p_group)
+        pkv = jnp.zeros((a, p_group), bool)
+        sj = {k: jnp.asarray(v) for k, v in stacked.items()}
+        logits, pk, pv, pkv = _prefill(
+            self.model.params, self.cfg,
+            sj["ids_slotted"], sj["text_mask"], sj["codes_slotted"],
+            sj["code_mask"], sj["spk_ids"], sj["spk_mask"],
+            sj["rope_pos"], sj["attn_mask"], pk, pv, pkv,
+        )
+
+        self._rng, k0 = jax.random.split(self._rng)
+        # Bucket padding duplicates the LAST REAL row (same target row index
+        # in rows_arr) — duplicate scatters must carry identical values or
+        # the winner is unspecified and could clobber the real admit.
+        pad = lambda xs, fill: xs + [xs[-1] if xs else fill] * (a - a_real)  # noqa: E731
+        min_f = np.array(pad([r.min_frames for r, _, _, _ in built], 0), np.int32)
+        temps = np.array(pad([r.temperature for r, _, _, _ in built], 1.0), np.float32)
+        lens_arr = np.array(pad([n for _, _, n, _ in built], 0), np.int32)
+        rows_arr = jnp.asarray(np.array(pad(rows_real, 0), np.int32))
+
+        tok0, done0 = _admit_sample(
+            logits, k0, jnp.asarray(min_f), jnp.asarray(temps),
+            self.top_k, int(self.cfg.audio_eos),
+        )
+        self._cache_k, self._cache_v, self._key_valid = _insert_rows(
+            self._cache_k, self._cache_v, self._key_valid,
+            rows_arr, pk, pv, pkv, jnp.int32(self._col),
+        )
+        (self._last_codes, self._done, self._active_dev, self._rope_next,
+         self._frames_done, self._min_frames, self._temp) = _admit_full(
+            self._last_codes, self._done, self._active_dev, self._rope_next,
+            self._frames_done, self._min_frames, self._temp,
+            rows_arr, tok0, done0, jnp.asarray(lens_arr),
+            jnp.asarray(min_f), jnp.asarray(temps),
+        )
+
+        now = time.time()
+        for j, (req, _, n, _) in enumerate(built):
+            row = rows_real[j]
+            self._active[row] = True
+            slot = self._slots[row]
+            slot.req = req
+            slot.codes = []
+            slot.first_tok = (tok0, j)
+            slot.done_seen = None  # EOS-at-frame-0 surfaces via the done carry
+            slot.frames = 1
+            req.t_admit = now
+        return a_real
+
+    def _flush(self) -> None:
+        """Harvest the outstanding lagged chunk, if any."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            self._harvest_one(pending)
+
+    def _harvest_one(self, pending) -> None:
+        """Fetch one chunk's codes/done flags and retire finished rows."""
+        codes_dev, done_dev, owners = pending
+        packed = np.asarray(
+            jnp.concatenate([codes_dev, done_dev[..., None].astype(jnp.int32)], -1)
+        )
+        codes, dones = packed[..., :-1], packed[..., -1].astype(bool)
+
+        retire: List[int] = []
+        for row in range(self.n_slots):
+            req = owners[row]
+            slot = self._slots[row]
+            if req is None or slot.req is not req:
+                continue  # row was empty, or re-admitted since this chunk ran
+            if slot.done_seen is None:
+                slot.codes.append(codes[row])
+                hit = np.nonzero(dones[row])[0]
+                if hit.size:
+                    slot.done_seen = slot.frames + int(hit[0])
+                    self.frames_decoded += int(hit[0]) + 1
+                else:
+                    self.frames_decoded += codes.shape[1]
+                slot.frames += codes.shape[1]
+            if (
+                slot.done_seen is not None
+                or slot.frames >= req.max_frames
+                or req.cancelled
+            ):
+                retire.append(row)
+        if retire:
+            self._retire(retire)
+
+    def _retire(self, rows: List[int]) -> None:
+        """Assemble, trim, and (bucket-)vocode finished rows; free slots.
+
+        Rows are freed BEFORE vocoding so the same step's admission can
+        refill them; the request handles are captured first.
+        """
+        self._active_dev, self._done = _clear_rows(
+            self._active_dev, self._done,
+            jnp.asarray(np.array(rows, np.int32)),
+        )
+        by_len: Dict[int, List[Tuple[ServeRequest, np.ndarray]]] = {}
+        for row in rows:
+            slot = self._slots[row]
+            req = slot.req
+            self._active[row] = False
+            slot.req = None
+            if req.cancelled:
+                slot.codes = []
+                req._resolve()
+                continue
+            # Frame 0's token was left on device at admission; fetch now
+            # (retirement-time, off the decode critical path).
+            tok0_dev, j = slot.first_tok
+            first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
+            first[0, 0] = int(np.asarray(tok0_dev[j]))
+            seq = np.concatenate([first] + slot.codes, axis=0)
+            slot.codes = []
+            end = slot.done_seen if slot.done_seen is not None else seq.shape[0]
+            end = max(min(end, req.max_frames), 1)
+            seq = seq[:end]
+            req.n_frames = end
+            req.codes = seq
+            self.frames_delivered += end
+            t = _round_up(end, self.chunk)
+            by_len.setdefault(t, []).append((req, seq))
+
+        hop = self.cfg.codec.hop
+        for t, group in by_len.items():
+            batch = np.stack(
+                [np.pad(seq, ((0, t - seq.shape[0]), (0, 0))) for _, seq in group]
+            )
+            wav = _vocode(self.model.params, self.cfg, jnp.asarray(batch))
+            for b, (req, seq) in enumerate(group):
+                req.wav = wav[b, : seq.shape[0] * hop]
+                req.sample_rate = self.model.sample_rate
+                self.requests_done += 1
+                req._resolve()
+
+    # -- main loop ----------------------------------------------------------
+
+    def step(self) -> bool:
+        """One scheduler iteration: admit → dispatch a chunk → harvest the
+        previous chunk (its fetch overlaps the new chunk's execution).
+        Single-threaded driver only. Returns True if any work was done."""
+        self._admit()
+        if self._active.any():
+            owners = [self._slots[i].req for i in range(self.n_slots)]
+            (codes_chunk, done_chunk, self._cache_k, self._cache_v,
+             self._key_valid, self._last_codes, self._done, self._rng,
+             self._rope_next, self._frames_done) = (
+                _serve_decode_chunk(
+                    self.model.params,
+                    self._cache_k, self._cache_v, self._key_valid,
+                    self.cfg,
+                    jnp.int32(self._col),
+                    self._rope_next,
+                    self._last_codes,
+                    self._done,
+                    self._active_dev,
+                    self._rng,
+                    self._temp,
+                    self._frames_done,
+                    self._min_frames,
+                    self.chunk,
+                    self.top_k,
+                )
+            )
+            if self._t_first is None:
+                self._t_first = time.time()
+            self._col = (self._col + self.chunk) % self.ring
+            prev, self._pending = self._pending, (codes_chunk, done_chunk, owners)
+            if prev is not None:
+                self._harvest_one(prev)
+            self._t_last = time.time()
+            return True
+        if self._pending is not None:
+            self._flush()
+            self._t_last = time.time()
+            return True
+        return False
+
+    def run_until_idle(self) -> None:
+        """Drive the loop until queue + slots + pending harvest drain."""
+        while True:
+            with self._lock:
+                queued = bool(self._queue)
+            if not (queued or self._active.any() or self._pending is not None):
+                return
+            self.step()
+
+    def start(self) -> None:
+        """Serve on a background thread until :meth:`stop`."""
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                busy = self.step()
+                if not busy:
+                    with self._wake:
+                        if not self._queue and not self._stop.is_set():
+                            self._wake.wait(timeout=0.05)
+
+        self._thread = threading.Thread(target=loop, daemon=True, name="tts-serving")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        with self._wake:
+            self._wake.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def close(self) -> None:
+        self.stop()
+        self._cache_k = self._cache_v = self._key_valid = None
+
+    # -- stats ---------------------------------------------------------------
+
+    def stats(self) -> Dict[str, float]:
+        wall = (
+            (self._t_last - self._t_first)
+            if self._t_first is not None and self._t_last is not None
+            else 0.0
+        )
+        audio_sec = self.frames_delivered / self.cfg.codec.frame_rate
+        return {
+            "requests_done": self.requests_done,
+            "frames_decoded": self.frames_decoded,
+            "frames_delivered": self.frames_delivered,
+            "serve_wall_s": wall,
+            "aggregate_rtf": (audio_sec / wall) if wall > 0 else 0.0,
+        }

@@ -1,0 +1,161 @@
+"""Continuous-batching serving engine (``rho_tts_tpu.serving``).
+
+The engine's correctness hinges on the ring-buffer KV design: rows join
+the slot batch at arbitrary global columns, prompts land wherever the
+write column happens to be, and the attention mask is ``key_valid``-only
+(no slot-order term). The pin for all of it is GREEDY PARITY: with
+``top_k=1`` sampling is argmax (schedule- and rng-independent), so every
+request served through the engine must reproduce the token sequence of a
+fresh one-shot ``generate_codes`` — regardless of which slot it got, what
+other requests shared the batch, or how many times the ring wrapped.
+"""
+
+import numpy as np
+import pytest
+
+from rho_tts_tpu.models.qwen import PRESETS
+from rho_tts_tpu.models.qwen.model import QwenTTSModel
+from rho_tts_tpu.serving import ServingEngine
+
+TEXTS = [
+    "hello world",
+    "a second, longer request in another slot",
+    "third request joins later",
+    "the fourth one rides a recycled slot",
+    "five makes the queue deeper than the slot count",
+]
+
+
+@pytest.fixture(scope="module")
+def model():
+    return QwenTTSModel(PRESETS["tiny"], seed=0)
+
+
+def oneshot_codes(model, text, min_frames=0, max_frames=128):
+    """Reference: the one-shot batch path, greedy."""
+    return np.asarray(
+        model.generate_codes(
+            [text], min_frames=min_frames, max_frames=max_frames,
+            temperature=1.0, top_k=1,
+        )[0]
+    )
+
+
+def assert_serving_parity(req, ref):
+    """Engine output must be a prefix-match of the one-shot greedy codes.
+
+    If EOS fired before both paths' frame caps, the lengths (cut at the
+    first EOS) must agree exactly; otherwise the shorter is a prefix of
+    the longer (the two paths round their frame budgets differently).
+    """
+    got = req.codes
+    n = min(got.shape[0], ref.shape[0])
+    np.testing.assert_array_equal(got[:n], ref[:n])
+
+
+class TestGreedyParity:
+    def test_single_request_matches_oneshot(self, model):
+        eng = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        req = eng.submit(TEXTS[0], min_frames=8, max_frames=96)
+        eng.run_until_idle()
+        ref = oneshot_codes(model, TEXTS[0], min_frames=8, max_frames=96)
+        assert req.done() and req.n_frames >= 8
+        assert_serving_parity(req, ref)
+
+    def test_concurrent_and_queued_requests_all_match(self, model):
+        """5 requests through 2 slots: concurrent admission, retirement,
+        slot recycling at staggered columns — every request greedy-exact."""
+        eng = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        reqs = [eng.submit(t, min_frames=8, max_frames=96) for t in TEXTS]
+        eng.run_until_idle()
+        for t, req in zip(TEXTS, reqs):
+            wav, sr = req.result(timeout=5)
+            assert sr == model.sample_rate
+            assert wav.shape == (req.n_frames * model.config.codec.hop,)
+            assert_serving_parity(req, oneshot_codes(model, t, min_frames=8, max_frames=96))
+
+    def test_ring_wrap_parity(self, model):
+        """One slot, several requests: the global column wraps the ring
+        multiple times; parity must survive prompts straddling the wrap."""
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        assert eng.ring == 64 + 64 + eng.chunk
+        texts = TEXTS[:4]
+        reqs = [eng.submit(t, min_frames=16, max_frames=64) for t in texts]
+        eng.run_until_idle()
+        # Enough columns consumed to wrap: each request writes ≥ prompt+frames
+        for t, req in zip(texts, reqs):
+            assert req.done()
+            assert_serving_parity(req, oneshot_codes(model, t, min_frames=16, max_frames=64))
+
+    def test_late_submission_joins_running_batch(self, model):
+        """A request submitted mid-flight is admitted at a chunk boundary
+        (a nonzero global column) and still matches one-shot."""
+        eng = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        first = eng.submit(TEXTS[0], min_frames=48, max_frames=96)
+        eng.step()  # admit + first chunk
+        late = eng.submit(TEXTS[2], min_frames=8, max_frames=96)
+        eng.run_until_idle()
+        assert first.done() and late.done()
+        assert late.t_admit > first.t_admit
+        assert_serving_parity(first, oneshot_codes(model, TEXTS[0], 48, 96))
+        assert_serving_parity(late, oneshot_codes(model, TEXTS[2], 8, 96))
+
+
+class TestSchedulerBehavior:
+    def test_min_frames_floor(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        req = eng.submit(TEXTS[0], min_frames=40, max_frames=96)
+        eng.run_until_idle()
+        assert req.n_frames >= 40
+
+    def test_cancel_queued_and_active(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        active = eng.submit(TEXTS[0], min_frames=64, max_frames=128)
+        queued = eng.submit(TEXTS[1], min_frames=8, max_frames=64)
+        queued.cancel()
+        eng.step()
+        active.cancel()
+        eng.run_until_idle()
+        for r in (active, queued):
+            assert r.done() and r.cancelled
+            with pytest.raises(RuntimeError):
+                r.result(timeout=1)
+
+    def test_prompt_too_long_rejected(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        req = eng.submit("word " * 400, max_frames=64)
+        eng.run_until_idle()
+        assert req.done()
+        with pytest.raises(ValueError, match="max_prompt"):
+            req.result(timeout=1)
+
+    def test_background_thread(self, model):
+        eng = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        eng.start()
+        try:
+            reqs = [eng.submit(t, min_frames=8, max_frames=64) for t in TEXTS[:3]]
+            for r in reqs:
+                wav, sr = r.result(timeout=120)
+                assert wav.size > 0
+        finally:
+            eng.stop()
+        stats = eng.stats()
+        assert stats["requests_done"] == 3
+        assert stats["frames_delivered"] >= 3 * 8
+
+    def test_stats_account_delivered_audio(self, model):
+        eng = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=64, top_k=1)
+        reqs = [eng.submit(t, min_frames=8, max_frames=64) for t in TEXTS[:2]]
+        eng.run_until_idle()
+        stats = eng.stats()
+        assert stats["frames_delivered"] == sum(r.n_frames for r in reqs)
+        assert stats["aggregate_rtf"] > 0
+
+    def test_mesh_model_rejected(self, model):
+        class FakeMesh:
+            pass
+
+        model2 = QwenTTSModel(PRESETS["tiny"], params=model.params, seed=0)
+        model2.mesh = FakeMesh()
+        with pytest.raises(ValueError, match="mesh"):
+            ServingEngine(model2)
