@@ -581,13 +581,15 @@ def bench_serve():
         f"Serving request number {i} with a ragged target length." for i in range(n_reqs)
     ]
 
+    stream = os.environ.get("BENCH_SERVE_STREAM", "0") == "1"
+
     def run_serving():
         eng = ServingEngine(
             model, n_slots=n_slots, max_prompt=64, max_frames=512, top_k=4
         )
         t0 = time.time()
         reqs = [
-            eng.submit(t, min_frames=n, max_frames=n)
+            eng.submit(t, min_frames=n, max_frames=n, stream=stream)
             for t, n in zip(texts, lengths)
         ]
         eng.run_until_idle()
@@ -608,6 +610,14 @@ def bench_serve():
         f"{wall_sync:.2f}s → aggregate RTF {rtf:.1f} "
         f"(p50 latency {np.median([r.t_done - r.t_submit for r in reqs]):.2f}s, "
         f"p99 {np.percentile([r.t_done - r.t_submit for r in reqs], 99):.2f}s)")
+    if stream:
+        ttfa = [r.t_first_audio - r.t_submit for r in reqs]
+        ttfa_admit = [r.t_first_audio - r.t_admit for r in reqs]
+        log(f"serve: streaming TTFA p50 {np.median(ttfa):.2f}s from submit "
+            f"(includes queue wait beyond {n_slots} slots) / "
+            f"{np.median(ttfa_admit):.2f}s from admission; "
+            f"p99 {np.percentile(ttfa, 99):.2f}s / "
+            f"{np.percentile(ttfa_admit, 99):.2f}s")
 
     # Static batch-5 baseline on the same workload (warm then measure)
     def run_static():

@@ -45,6 +45,7 @@ deployment would put in front of ``base_tts.generate``.
 from __future__ import annotations
 
 import logging
+import queue as _queue
 import threading
 import time
 from collections import deque
@@ -270,7 +271,13 @@ def _clear_rows(active, done, rows):
 
 
 class ServeRequest:
-    """Handle for one submitted utterance; a minimal future."""
+    """Handle for one submitted utterance; a minimal future.
+
+    With ``stream=True``, audio is also delivered incrementally through
+    :meth:`chunks` as decode chunks harvest (sliding-window vocode, same
+    design as ``QwenTTSModel.stream_chunks``) — constant time-to-first-
+    audio even while the request shares the batch with long utterances.
+    """
 
     def __init__(
         self,
@@ -282,6 +289,7 @@ class ServeRequest:
         min_frames: int,
         max_frames: int,
         temperature: float,
+        stream: bool = False,
     ):
         self.text = text
         self.speaker = speaker
@@ -291,9 +299,11 @@ class ServeRequest:
         self.min_frames = int(min_frames)
         self.max_frames = int(max_frames)
         self.temperature = float(temperature)
+        self.stream = bool(stream)
 
         self._event = threading.Event()
         self._cancelled = threading.Event()
+        self._chunk_q = _queue.Queue() if stream else None
         self.wav: Optional[jnp.ndarray] = None  # device array until fetched
         self.codes: Optional[np.ndarray] = None  # trimmed (n_frames, nq)
         self.sample_rate: Optional[int] = None
@@ -301,7 +311,27 @@ class ServeRequest:
         self.n_frames: int = 0
         self.t_submit = time.time()
         self.t_admit: Optional[float] = None
+        self.t_first_audio: Optional[float] = None
         self.t_done: Optional[float] = None
+
+    def chunks(self, timeout: Optional[float] = None):
+        """Yield waveform pieces (np (S,), sr) as they are generated.
+
+        Only for ``stream=True`` requests. The concatenation of all
+        pieces equals :meth:`result`'s waveform. Raises on error or
+        cancellation once the stream ends.
+        """
+        if self._chunk_q is None:
+            raise ValueError("request was not submitted with stream=True")
+        while True:
+            item = self._chunk_q.get(timeout=timeout)
+            if item is None:
+                break
+            yield item
+        if self.error is not None:
+            raise self.error
+        if self.cancelled:
+            raise RuntimeError("request was cancelled")
 
     def cancel(self) -> None:
         """Cooperative cancel: queued requests are dropped at admission,
@@ -339,7 +369,10 @@ class ServeRequest:
 class _Slot:
     """Host-side bookkeeping for one batch row."""
 
-    __slots__ = ("req", "codes", "done_seen", "frames", "first_tok")
+    __slots__ = (
+        "req", "codes", "done_seen", "frames", "first_tok",
+        "emitted", "pieces",
+    )
 
     def __init__(self):
         self.req: Optional[ServeRequest] = None
@@ -348,8 +381,11 @@ class _Slot:
         self.frames = 0  # frames harvested so far (incl. frame 0)
         # Frame 0's primary code stays a DEVICE ref (fetched only at
         # retirement): fetching it at admission would stall the decode
-        # stream on prefill completion.
+        # stream on prefill completion. (Streaming rows materialize it at
+        # their first harvest — prefill is long done by then.)
         self.first_tok = None  # (tok0_device_array, row_index)
+        self.emitted = 0  # frames already streamed out (stream=True rows)
+        self.pieces: List[np.ndarray] = []  # streamed waveform pieces
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +411,7 @@ class ServingEngine:
         max_frames: int = 768,
         top_k: Optional[int] = None,
         seed: int = 0,
+        stream_context: int = 32,
     ):
         if model.mesh is not None:
             raise ValueError(
@@ -388,6 +425,7 @@ class ServingEngine:
         self.max_prompt = _round_up(int(max_prompt), PROMPT_BUCKET)
         self.max_frames = _round_up(int(max_frames), self.chunk)
         self.top_k = int(self.cfg.top_k if top_k is None else top_k)
+        self.stream_context = int(stream_context)
         # Ring capacity: prompt + generated frames + one chunk of lagged-
         # retirement slack (rows decode one surplus chunk while their last
         # harvest is in flight).
@@ -441,8 +479,16 @@ class ServingEngine:
         min_frames: int = 0,
         max_frames: Optional[int] = None,
         temperature: Optional[float] = None,
+        stream: bool = False,
     ) -> ServeRequest:
-        """Queue one utterance; returns a future-like :class:`ServeRequest`."""
+        """Queue one utterance; returns a future-like :class:`ServeRequest`.
+
+        ``stream=True`` additionally delivers audio incrementally via
+        :meth:`ServeRequest.chunks` — each harvested decode chunk is
+        vocoded through a sliding window (``stream_context`` frames of
+        context) and pushed immediately, so first audio arrives after the
+        request's first chunk regardless of batch-mates' lengths.
+        """
         if max_frames is None:
             max_frames = int(np.clip(len(text) * 1.0 + 50, self.chunk, self.max_frames))
         max_frames = min(_round_up(int(max_frames), self.chunk), self.max_frames)
@@ -455,6 +501,7 @@ class ServingEngine:
             min_frames=min(int(min_frames), max_frames),
             max_frames=max_frames,
             temperature=self.cfg.temperature if temperature is None else temperature,
+            stream=stream,
         )
         with self._wake:
             self._queue.append(req)
@@ -475,6 +522,8 @@ class ServingEngine:
             while free[len(picked):] and self._queue:
                 req = self._queue.popleft()
                 if req.cancelled:
+                    if req._chunk_q is not None:
+                        req._chunk_q.put(None)
                     req._resolve()
                     continue
                 picked.append(req)
@@ -492,6 +541,8 @@ class ServingEngine:
                 req.error = ValueError(
                     f"prompt is {lens[0]} tokens; engine max_prompt={self.max_prompt}"
                 )
+                if req._chunk_q is not None:
+                    req._chunk_q.put(None)
                 req._resolve()
                 continue
             built.append((req, arrays, lens[0], p))
@@ -571,6 +622,8 @@ class ServingEngine:
             slot = self._slots[row]
             slot.req = req
             slot.codes = []
+            slot.pieces = []
+            slot.emitted = 0
             slot.first_tok = (tok0, j)
             slot.done_seen = None  # EOS-at-frame-0 surfaces via the done carry
             slot.frames = 1
@@ -592,12 +645,21 @@ class ServingEngine:
         codes, dones = packed[..., :-1], packed[..., -1].astype(bool)
 
         retire: List[int] = []
+        emits: List[Tuple[int, int, int, int]] = []  # (row, lo, hi, emit_from)
         for row in range(self.n_slots):
             req = owners[row]
             slot = self._slots[row]
             if req is None or slot.req is not req:
                 continue  # row was empty, or re-admitted since this chunk ran
             if slot.done_seen is None:
+                if req.stream and slot.first_tok is not None:
+                    # Materialize frame 0 now (prefill finished chunks ago;
+                    # this fetch no longer stalls the decode stream).
+                    tok0_dev, j = slot.first_tok
+                    first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
+                    first[0, 0] = int(np.asarray(tok0_dev[j]))
+                    slot.codes.insert(0, first)
+                    slot.first_tok = None
                 slot.codes.append(codes[row])
                 hit = np.nonzero(dones[row])[0]
                 if hit.size:
@@ -606,14 +668,59 @@ class ServingEngine:
                 else:
                     self.frames_decoded += codes.shape[1]
                 slot.frames += codes.shape[1]
-            if (
+            finished = (
                 slot.done_seen is not None
                 or slot.frames >= req.max_frames
                 or req.cancelled
-            ):
+            )
+            if req.stream and not req.cancelled:
+                total = slot.done_seen if slot.done_seen is not None else slot.frames
+                total = max(min(total, req.max_frames), 1)
+                safe = total if finished else max(total - self.stream_context, 0)
+                if safe > slot.emitted:
+                    lo = max(slot.emitted - self.stream_context, 0)
+                    emits.append((row, lo, total, slot.emitted))
+                    slot.emitted = safe
+            if finished:
                 retire.append(row)
+        if emits:
+            self._emit_stream(emits)
         if retire:
             self._retire(retire)
+
+    def _emit_stream(self, emits: List[Tuple[int, int, int, int]]) -> None:
+        """Vocode sliding windows for streaming rows and push the pieces.
+
+        Windows with the same padded length share one vocoder dispatch.
+        The conv vocoder is local, so a window with ``stream_context``
+        frames of left context reproduces the full-utterance vocode for
+        every emitted sample (same property ``stream_chunks`` golden-
+        tests against the one-shot path).
+        """
+        hop = self.cfg.codec.hop
+        by_len: Dict[int, List[Tuple[int, int, int, int, np.ndarray]]] = {}
+        for row, lo, hi, emit_from in emits:
+            slot = self._slots[row]
+            buf = np.concatenate(slot.codes, axis=0)
+            window = buf[lo:hi]
+            t = _round_up(window.shape[0], self.chunk)
+            by_len.setdefault(t, []).append((row, lo, hi, emit_from, window))
+        for t, group in by_len.items():
+            batch = np.stack(
+                [np.pad(w, ((0, t - w.shape[0]), (0, 0))) for _, _, _, _, w in group]
+            )
+            wav = _vocode(self.model.params, self.cfg, jnp.asarray(batch))
+            for b, (row, lo, hi, emit_from, w) in enumerate(group):
+                slot = self._slots[row]
+                req = slot.req
+                emit_to = slot.emitted  # set before the dispatch
+                piece = np.asarray(
+                    wav[b, (emit_from - lo) * hop : (emit_to - lo) * hop]
+                )
+                slot.pieces.append(piece)
+                if req.t_first_audio is None:
+                    req.t_first_audio = time.time()  # after the fetch
+                req._chunk_q.put((piece, self.model.sample_rate))
 
     def _retire(self, rows: List[int]) -> None:
         """Assemble, trim, and (bucket-)vocode finished rows; free slots.
@@ -633,14 +740,21 @@ class ServingEngine:
             slot.req = None
             if req.cancelled:
                 slot.codes = []
+                slot.pieces = []
+                if req._chunk_q is not None:
+                    req._chunk_q.put(None)
                 req._resolve()
                 continue
-            # Frame 0's token was left on device at admission; fetch now
-            # (retirement-time, off the decode critical path).
-            tok0_dev, j = slot.first_tok
-            first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
-            first[0, 0] = int(np.asarray(tok0_dev[j]))
-            seq = np.concatenate([first] + slot.codes, axis=0)
+            if slot.first_tok is not None:
+                # Frame 0's token was left on device at admission; fetch now
+                # (retirement-time, off the decode critical path). Streaming
+                # rows already materialized it at their first harvest.
+                tok0_dev, j = slot.first_tok
+                first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
+                first[0, 0] = int(np.asarray(tok0_dev[j]))
+                slot.codes.insert(0, first)
+                slot.first_tok = None
+            seq = np.concatenate(slot.codes, axis=0)
             slot.codes = []
             end = slot.done_seen if slot.done_seen is not None else seq.shape[0]
             end = max(min(end, req.max_frames), 1)
@@ -648,6 +762,17 @@ class ServingEngine:
             req.n_frames = end
             req.codes = seq
             self.frames_delivered += end
+            if req.stream:
+                # The streamed pieces ARE the waveform (final flush already
+                # emitted in _emit_stream before retirement).
+                req.wav = np.concatenate(slot.pieces) if slot.pieces else np.zeros(0, np.float32)
+                req.sample_rate = self.model.sample_rate
+                slot.pieces = []
+                slot.emitted = 0
+                req._chunk_q.put(None)
+                self.requests_done += 1
+                req._resolve()
+                continue
             t = _round_up(end, self.chunk)
             by_len.setdefault(t, []).append((req, seq))
 

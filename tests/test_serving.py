@@ -101,6 +101,66 @@ class TestGreedyParity:
         assert_serving_parity(late, oneshot_codes(model, TEXTS[2], 8, 96))
 
 
+class TestStreamingServing:
+    """stream=True requests deliver audio incrementally while batched.
+
+    Pins: (a) pieces appear before the request finishes, (b) their
+    concatenation equals the NON-streaming serving waveform for the same
+    greedy request within sliding-window vocode tolerance, (c) token
+    parity with one-shot is unchanged, (d) mixed stream/non-stream
+    batches don't interfere.
+    """
+
+    def test_stream_pieces_match_result(self, model):
+        eng = ServingEngine(
+            model, n_slots=2, max_prompt=64, max_frames=128, top_k=1,
+        )
+        plain = eng.submit(TEXTS[0], min_frames=96, max_frames=96)
+        streamed = eng.submit(TEXTS[0], min_frames=96, max_frames=96, stream=True)
+        pieces = []
+        t = __import__("threading").Thread(
+            target=lambda: pieces.extend(p for p, _sr in streamed.chunks(timeout=300))
+        )
+        t.start()
+        eng.run_until_idle()
+        t.join(timeout=30)
+        assert len(pieces) >= 2  # incremental, not one blob at the end
+        wav_stream = np.concatenate(pieces)
+        wav_plain, _sr = plain.result(timeout=5)
+        assert streamed.t_first_audio is not None
+        # Same text, same greedy sampling → same codes → same audio up to
+        # the window-boundary bf16 tolerance of sliding-window vocoding.
+        np.testing.assert_array_equal(streamed.codes, plain.codes)
+        assert wav_stream.shape == wav_plain.shape
+        np.testing.assert_allclose(wav_stream, wav_plain, atol=2e-2)
+        got, _sr2 = streamed.result(timeout=5)
+        np.testing.assert_array_equal(got, wav_stream)
+
+    def test_stream_early_eos(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        req = eng.submit(TEXTS[2], min_frames=0, max_frames=96, stream=True)
+        eng.run_until_idle()
+        pieces = [p for p, _sr in req.chunks(timeout=60)]
+        total = sum(p.shape[0] for p in pieces)
+        assert total == req.n_frames * model.config.codec.hop
+
+    def test_stream_cancel_ends_iterator(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        req = eng.submit(TEXTS[0], min_frames=128, max_frames=128, stream=True)
+        eng.step()
+        req.cancel()
+        eng.run_until_idle()
+        with pytest.raises(RuntimeError):
+            list(req.chunks(timeout=60))
+
+    def test_chunks_requires_stream_flag(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        req = eng.submit(TEXTS[0], max_frames=64)
+        eng.run_until_idle()
+        with pytest.raises(ValueError, match="stream=True"):
+            next(req.chunks())
+
+
 class TestSchedulerBehavior:
     def test_min_frames_floor(self, model):
         eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
@@ -150,6 +210,12 @@ class TestSchedulerBehavior:
         stats = eng.stats()
         assert stats["frames_delivered"] == sum(r.n_frames for r in reqs)
         assert stats["aggregate_rtf"] > 0
+
+    def test_stats_ttfa_none_without_stream(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        req = eng.submit(TEXTS[0], min_frames=8, max_frames=64)
+        eng.run_until_idle()
+        assert req.t_first_audio is None  # non-streaming never vocodes early
 
     def test_mesh_model_rejected(self, model):
         class FakeMesh:
