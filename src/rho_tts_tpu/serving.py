@@ -57,6 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import transformer as tfm
+from .utils import profiling
 from .models.qwen.model import (
     PROMPT_BUCKET,
     QwenTTSModel,
@@ -412,6 +413,7 @@ class ServingEngine:
         top_k: Optional[int] = None,
         seed: int = 0,
         stream_context: int = 32,
+        max_queue: Optional[int] = None,
     ):
         if model.mesh is not None:
             raise ValueError(
@@ -452,6 +454,7 @@ class ServingEngine:
         self._slots = [_Slot() for _ in range(self.n_slots)]
 
         self._col = 0  # global write column (kept in [0, ring))
+        self.max_queue = max_queue  # backpressure: submit() raises when full
         self._queue: deque[ServeRequest] = deque()
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
@@ -504,6 +507,10 @@ class ServingEngine:
             stream=stream,
         )
         with self._wake:
+            if self.max_queue is not None and len(self._queue) >= self.max_queue:
+                raise RuntimeError(
+                    f"serving queue full ({self.max_queue}); apply backpressure"
+                )
             self._queue.append(req)
             self._wake.notify()
         return req
@@ -639,9 +646,10 @@ class ServingEngine:
     def _harvest_one(self, pending) -> None:
         """Fetch one chunk's codes/done flags and retire finished rows."""
         codes_dev, done_dev, owners = pending
-        packed = np.asarray(
-            jnp.concatenate([codes_dev, done_dev[..., None].astype(jnp.int32)], -1)
-        )
+        with profiling.stage("serve/harvest"):
+            packed = np.asarray(
+                jnp.concatenate([codes_dev, done_dev[..., None].astype(jnp.int32)], -1)
+            )
         codes, dones = packed[..., :-1], packed[..., -1].astype(bool)
 
         retire: List[int] = []
@@ -794,7 +802,8 @@ class ServingEngine:
         """One scheduler iteration: admit → dispatch a chunk → harvest the
         previous chunk (its fetch overlaps the new chunk's execution).
         Single-threaded driver only. Returns True if any work was done."""
-        self._admit()
+        with profiling.stage("serve/admit"):
+            self._admit()
         if self._active.any():
             owners = [self._slots[i].req for i in range(self.n_slots)]
             (codes_chunk, done_chunk, self._cache_k, self._cache_v,
@@ -866,7 +875,29 @@ class ServingEngine:
             self._thread = None
 
     def close(self) -> None:
+        """Stop serving and fail outstanding work cleanly.
+
+        Queued and in-flight requests resolve with a ``RuntimeError``
+        (their waiters unblock) and the KV ring is released.
+        """
         self.stop()
+        with self._lock:
+            abandoned = list(self._queue)
+            self._queue.clear()
+        for slot in self._slots:
+            if slot.req is not None:
+                abandoned.append(slot.req)
+                slot.req = None
+                slot.codes = []
+                slot.pieces = []
+        self._active[:] = False
+        for req in abandoned:
+            if not req.done():
+                req.error = RuntimeError("serving engine closed")
+                if req._chunk_q is not None:
+                    req._chunk_q.put(None)
+                req._resolve()
+        self._pending = None
         self._cache_k = self._cache_v = self._key_valid = None
 
     # -- stats ---------------------------------------------------------------

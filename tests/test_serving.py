@@ -217,6 +217,29 @@ class TestSchedulerBehavior:
         eng.run_until_idle()
         assert req.t_first_audio is None  # non-streaming never vocodes early
 
+    def test_backpressure_queue_limit(self, model):
+        eng = ServingEngine(
+            model, n_slots=1, max_prompt=64, max_frames=64, top_k=1, max_queue=2,
+        )
+        eng.submit(TEXTS[0], max_frames=64)
+        eng.submit(TEXTS[1], max_frames=64)
+        with pytest.raises(RuntimeError, match="queue full"):
+            eng.submit(TEXTS[2], max_frames=64)
+        eng.run_until_idle()
+
+    def test_close_fails_outstanding_requests(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        active = eng.submit(TEXTS[0], min_frames=128, max_frames=128)
+        queued = eng.submit(TEXTS[1], max_frames=64, stream=True)
+        eng.step()
+        eng.close()
+        for r in (active, queued):
+            assert r.done()
+            with pytest.raises(RuntimeError, match="closed"):
+                r.result(timeout=1)
+        with pytest.raises(RuntimeError, match="closed"):
+            list(queued.chunks(timeout=1))
+
     def test_mesh_model_rejected(self, model):
         class FakeMesh:
             pass
