@@ -311,6 +311,152 @@ def greedy_decode(
     return jnp.transpose(toks, (1, 0))  # (B, max_tokens)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_tokens", "beams"))
+def beam_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    enc: jnp.ndarray,  # (B, Te, d)
+    prompt: jnp.ndarray,  # (P,) start tokens
+    max_tokens: int,
+    beams: int = 5,
+):
+    """Batched beam search, one fused scan. Returns (B, max_tokens).
+
+    Matches the reference's runtime behavior: faster-whisper transcribes
+    with its default ``beam_size=5``
+    (``/root/reference/src/rho_tts/validation/stt/stt_validator.py:135``,
+    CTranslate2 defaults), where this repo's gate decodes greedily by
+    default for throughput. TPU-first shape: the K beams FOLD INTO THE
+    BATCH (``B*K`` rows share one decoder program), each step takes a
+    top-K over the ``K*V`` candidate scores per batch element, reorders
+    the KV cache rows by the surviving beams' parents (one gather — the
+    cache is small for STT-sized models), and records (token, parent)
+    pairs; a reverse scan backtracks the best length-normalized beam on
+    device, so the host fetch stays (B, max_tokens) ints.
+
+    Finished beams ride along frozen: their only allowed continuation is
+    EOT at logprob 0, so their scores are stable and they keep competing
+    in the top-K (standard beam semantics).
+    """
+    b = enc.shape[0]
+    k = beams
+    bk = b * k
+    v = params["tok_embed"].shape[0]
+    d = cfg.d_model
+    heads = cfg.heads
+    n_layers = cfg.decoder_layers
+    p_len = prompt.shape[0]
+    s = p_len + max_tokens
+
+    # Beam-folded encoder rows: (B*K, Te, d)
+    enc_k = jnp.repeat(enc, k, axis=0)
+    cross_kv = []
+    for blk in params["dec_blocks"]:
+        ck = _heads(enc_k @ blk["cross"]["k"]["w"], heads)
+        cv = _heads(enc_k @ blk["cross"]["v"]["w"] + blk["cross"]["v"]["b"], heads)
+        cross_kv.append((ck, cv))
+
+    cache_k = jnp.zeros((n_layers, bk, s, heads, d // heads), jnp.float32)
+    cache_v = jnp.zeros((n_layers, bk, s, heads, d // heads), jnp.float32)
+
+    def forward_step(tokens, pos0, cache_k, cache_v):
+        """tokens (B*K, T) → (last-position logits, caches)."""
+        t = tokens.shape[1]
+        pos_idx = pos0 + jnp.arange(t)
+        x = params["tok_embed"][tokens] + params["dec_pos"][pos_idx][None]
+        key_idx = jnp.arange(s)
+        for li, blk in enumerate(params["dec_blocks"]):
+            h = _ln(blk["ln1"], x)
+            q = _heads(h @ blk["attn"]["q"]["w"] + blk["attn"]["q"]["b"], heads)
+            k_new = _heads(h @ blk["attn"]["k"]["w"], heads)
+            v_new = _heads(h @ blk["attn"]["v"]["w"] + blk["attn"]["v"]["b"], heads)
+            z = jnp.int32(0)
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k_new[None], (jnp.int32(li), z, jnp.asarray(pos0, jnp.int32), z, z)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v_new[None], (jnp.int32(li), z, jnp.asarray(pos0, jnp.int32), z, z)
+            )
+            scale = (d // heads) ** -0.25
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, cache_k[li] * scale)
+            causal = key_idx[None, None, None, :] <= (pos0 + jnp.arange(t))[None, None, :, None]
+            scores = jnp.where(causal, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, cache_v[li]).reshape(bk, t, d)
+            x = x + attn @ blk["attn"]["o"]["w"] + blk["attn"]["o"]["b"]
+            x = x + _attention(blk["cross"], _ln(blk["ln_cross"], x), heads, kv=cross_kv[li])
+            hm = _ln(blk["ln_mlp"], x)
+            x = x + jax.nn.gelu(hm @ blk["mlp1"]["w"] + blk["mlp1"]["b"], approximate=False) @ blk["mlp2"]["w"] + blk["mlp2"]["b"]
+        x = _ln(params["dec_ln"], x)
+        return x[:, -1] @ params["tok_embed"].T, cache_k, cache_v
+
+    # Prompt pass on all B*K rows (identical within a beam group)
+    prompt_bk = jnp.broadcast_to(prompt[None], (bk, p_len))
+    logits, cache_k, cache_v = forward_step(prompt_bk, 0, cache_k, cache_v)
+    logprobs0 = jax.nn.log_softmax(logits.reshape(b, k, v)[:, 0], axis=-1)  # (B, V)
+    cum0, tok0 = jax.lax.top_k(logprobs0, k)  # (B, K) init: K distinct first tokens
+    done0 = tok0 == cfg.eot
+
+    def step(carry, t):
+        tok, cum, done, cache_k, cache_v = carry  # tok/cum/done (B, K)
+        logits, cache_k, cache_v = forward_step(
+            tok.reshape(bk, 1), p_len + t, cache_k, cache_v
+        )
+        lp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        # Finished beams: only EOT continues, at logprob 0 (frozen score)
+        frozen = jnp.full((v,), -jnp.inf).at[cfg.eot].set(0.0)
+        lp = jnp.where(done[..., None], frozen[None, None], lp)
+        cand = cum[..., None] + lp  # (B, K, V)
+        cum, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)  # (B, K)
+        parent = flat_idx // v  # (B, K)
+        tok = flat_idx % v
+        # Reorder the KV caches by each survivor's parent beam
+        rows = (jnp.arange(b)[:, None] * k + parent).reshape(-1)  # (B*K,)
+        cache_k = jnp.take(cache_k, rows, axis=1)
+        cache_v = jnp.take(cache_v, rows, axis=1)
+        done = jnp.take_along_axis(done, parent, axis=1) | (tok == cfg.eot)
+        return (tok, cum, done, cache_k, cache_v), (tok, parent)
+
+    # max_tokens-1 expansion steps: chains are exactly max_tokens tokens
+    # (init token + expansions), so the length-normalized selection scores
+    # precisely the sequence that is returned — no hidden extra token.
+    (tok_f, cum_f, done_f, _, _), (toks_seq, parents_seq) = jax.lax.scan(
+        step, (tok0, cum0, done0, cache_k, cache_v), jnp.arange(max_tokens - 1)
+    )
+    # toks_seq/parents_seq: (T, B, K); sequence for beam j = backtracked
+    # chain ending at j, PLUS its step-0 token (tok0 via the root parent).
+
+    def back(carry, tp):
+        idx = carry  # (B,) current beam index per batch row
+        toks_t, parents_t = tp  # (B, K) each
+        tok = jnp.take_along_axis(toks_t, idx[:, None], axis=1)[:, 0]
+        idx = jnp.take_along_axis(parents_t, idx[:, None], axis=1)[:, 0]
+        return idx, tok
+
+    def backtrack(j):  # j: (B,) final beam indices → (root beam, tokens (B, T))
+        idx0, toks_rev = jax.lax.scan(
+            back, j, (toks_seq, parents_seq), reverse=True
+        )
+        return idx0, jnp.transpose(toks_rev, (1, 0))
+
+    # Length-normalized selection (CT2 length_penalty=1 ≈ score / length),
+    # each final beam scored by its own backtracked generated length.
+    all_seqs = []
+    all_roots = []
+    for j in range(k):
+        root, seq = backtrack(jnp.full((b,), j, jnp.int32))
+        all_seqs.append(seq)
+        all_roots.append(root)
+    seqs = jnp.stack(all_seqs, axis=1)  # (B, K, max_tokens-1)
+    roots = jnp.stack(all_roots, axis=1)  # (B, K)
+    first_toks = jnp.take_along_axis(tok0, roots, axis=1)  # (B, K)
+    full = jnp.concatenate([first_toks[..., None], seqs], axis=-1)  # (B,K,max_tokens)
+    lens = jnp.sum(full != cfg.eot, axis=-1).astype(jnp.float32)  # (B, K)
+    norm = cum_f / jnp.maximum(lens, 1.0)
+    best = jnp.argmax(norm, axis=1)  # (B,)
+    return jnp.take_along_axis(full, best[:, None, None], axis=1)[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # Wrappers
 # ---------------------------------------------------------------------------
@@ -321,16 +467,22 @@ class WhisperModel:
         self.cfg = cfg
         self.params = params if params is not None else init_params(jax.random.PRNGKey(seed), cfg)
 
-    def transcribe_tokens(self, wav: jnp.ndarray, max_tokens: int = 128) -> np.ndarray:
+    def transcribe_tokens(
+        self, wav: jnp.ndarray, max_tokens: int = 128, beam_size: int = 1
+    ) -> np.ndarray:
         """(S,) 16 kHz waveform → token ids (max_tokens,)."""
-        return self.transcribe_tokens_batch([wav], max_tokens)[0]
+        return self.transcribe_tokens_batch([wav], max_tokens, beam_size)[0]
 
-    def transcribe_tokens_batch(self, wavs, max_tokens: int = 128) -> np.ndarray:
+    def transcribe_tokens_batch(
+        self, wavs, max_tokens: int = 128, beam_size: int = 1
+    ) -> np.ndarray:
         """List of 16 kHz waveforms → token ids (B, max_tokens).
 
         The whole batch shares one mel/encode/decode program — this is how
         the validation pipeline scores a batch of candidate clips in one
-        device call instead of clip-at-a-time.
+        device call instead of clip-at-a-time. ``beam_size>1`` switches to
+        batched beam search (the reference's faster-whisper default is
+        beam 5; greedy is this repo's default for gate throughput).
         """
         n = CHUNK_FRAMES * HOP
         padded = []
@@ -344,7 +496,10 @@ class WhisperModel:
             [self.cfg.sot, self.cfg.lang_en, self.cfg.task_transcribe, self.cfg.no_timestamps],
             jnp.int32,
         )
-        toks = greedy_decode(self.params, self.cfg, enc, prompt, max_tokens)
+        if beam_size > 1:
+            toks = beam_decode(self.params, self.cfg, enc, prompt, max_tokens, beam_size)
+        else:
+            toks = greedy_decode(self.params, self.cfg, enc, prompt, max_tokens)
         return np.asarray(toks)
 
 
@@ -439,7 +594,11 @@ class WhisperTranscriber:
             res = resample_batch(jnp.stack(stacked), sr, SAMPLE_RATE, n16)
             for j, i in enumerate(idxs):
                 prepped[i] = res[j]
-        toks_batch = self.model.transcribe_tokens_batch(prepped)
+        # Decode strategy: greedy by default (gate throughput); set
+        # RHO_TTS_TPU_STT_BEAM=5 to match the reference's faster-whisper
+        # default beam size (stt_validator.py:135 → CTranslate2 beam 5).
+        beam = int(os.environ.get("RHO_TTS_TPU_STT_BEAM", "1"))
+        toks_batch = self.model.transcribe_tokens_batch(prepped, beam_size=beam)
         out = []
         for toks in toks_batch:
             ids = [int(t) for t in toks if int(t) < self.model.cfg.eot]
