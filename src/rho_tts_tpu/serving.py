@@ -402,6 +402,15 @@ class ServingEngine:
     frames, which together size the KV ring. Submit from any thread;
     drive with :meth:`step` / :meth:`run_until_idle` (deterministic,
     test-friendly) or :meth:`start` (background thread).
+
+    Mesh serving: a model prepared with
+    ``parallel.inference.enable_data_parallel`` / ``enable_tensor_parallel``
+    serves through the same engine — slot rows shard over the mesh's
+    ``data`` axis (``n_slots`` must divide it) and KV heads over
+    ``model``; XLA propagates the shardings through the decode chunk,
+    admission prefill, and scatters, inserting the TP psums over ICI.
+    Greedy results stay token-exact vs single-chip (mesh parity is
+    pinned in tests/test_serving.py).
     """
 
     def __init__(
@@ -415,12 +424,8 @@ class ServingEngine:
         stream_context: int = 32,
         max_queue: Optional[int] = None,
     ):
-        if model.mesh is not None:
-            raise ValueError(
-                "ServingEngine drives a single-chip model; mesh serving "
-                "composes at the engine level (one engine per replica)"
-            )
         self.model = model
+        self.mesh = model.mesh  # None for single-chip serving
         self.cfg = model.config
         self.chunk = _chunk()
         self.n_slots = int(n_slots)
@@ -433,21 +438,46 @@ class ServingEngine:
         # harvest is in flight).
         self.ring = self.max_prompt + self.max_frames + self.chunk
 
+        # Mesh serving: slot rows shard over 'data', KV heads over 'model'
+        # (the same layout as the one-shot TP/DP paths); everything else —
+        # params sharded by parallel.inference, prefill outputs, scatters —
+        # follows by XLA sharding propagation through the jitted programs.
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            if self.n_slots % dp != 0:
+                raise ValueError(
+                    f"n_slots ({self.n_slots}) must be a multiple of the "
+                    f"mesh data axis ({dp})"
+                )
+
+        def place(x, *spec):
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = list(spec) + [None] * (x.ndim - len(spec))
+            if "model" in spec and self.mesh.shape.get("model", 1) == 1:
+                spec = [None if s == "model" else s for s in spec]
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
         cache_k, cache_v = tfm.make_kv_cache(self.cfg.talker, self.n_slots, self.ring)
-        self._cache_k, self._cache_v = cache_k, cache_v
-        self._key_valid = jnp.zeros((self.n_slots, self.ring), bool)
+        self._cache_k = place(cache_k, None, "data", None, "model")
+        self._cache_v = place(cache_v, None, "data", None, "model")
+        self._key_valid = place(jnp.zeros((self.n_slots, self.ring), bool), "data")
         # Per-row decode state: ALL device-resident between chunks (the
         # chunk program advances rope/frame counters itself); the host
         # only tracks which slot belongs to which request.
-        self._last_codes = jnp.zeros(
-            (self.n_slots, self.cfg.codec.n_codebooks), jnp.int32
+        self._last_codes = place(
+            jnp.zeros((self.n_slots, self.cfg.codec.n_codebooks), jnp.int32), "data"
         )
-        self._done = jnp.ones((self.n_slots,), bool)
-        self._active_dev = jnp.zeros((self.n_slots,), bool)
-        self._rope_next = jnp.zeros((self.n_slots,), jnp.int32)
-        self._frames_done = jnp.zeros((self.n_slots,), jnp.int32)
-        self._min_frames = jnp.zeros((self.n_slots,), jnp.int32)
-        self._temp = jnp.full((self.n_slots,), self.cfg.temperature, jnp.float32)
+        self._done = place(jnp.ones((self.n_slots,), bool), "data")
+        self._active_dev = place(jnp.zeros((self.n_slots,), bool), "data")
+        self._rope_next = place(jnp.zeros((self.n_slots,), jnp.int32), "data")
+        self._frames_done = place(jnp.zeros((self.n_slots,), jnp.int32), "data")
+        self._min_frames = place(jnp.zeros((self.n_slots,), jnp.int32), "data")
+        self._temp = place(
+            jnp.full((self.n_slots,), self.cfg.temperature, jnp.float32), "data"
+        )
         self._rng = jax.random.PRNGKey(seed)
 
         self._active = np.zeros(self.n_slots, bool)  # host mirror (scheduling)

@@ -240,11 +240,71 @@ class TestSchedulerBehavior:
         with pytest.raises(RuntimeError, match="closed"):
             list(queued.chunks(timeout=1))
 
-    def test_mesh_model_rejected(self, model):
-        class FakeMesh:
-            pass
+    def test_mesh_slot_divisibility_enforced(self, model):
+        from rho_tts_tpu.parallel.mesh import create_mesh
 
         model2 = QwenTTSModel(PRESETS["tiny"], params=model.params, seed=0)
-        model2.mesh = FakeMesh()
-        with pytest.raises(ValueError, match="mesh"):
-            ServingEngine(model2)
+        model2.mesh = create_mesh(2, model_parallel=1)
+        with pytest.raises(ValueError, match="multiple of the"):
+            ServingEngine(model2, n_slots=3)
+
+
+class TestMeshServing:
+    """Continuous batching over a device mesh (virtual CPU devices).
+
+    The engine's ring caches shard slot rows over 'data' and KV heads
+    over 'model'; the pin is that greedy serving through a DP+TP-sharded
+    model stays token-exact vs the single-chip engine — same requests,
+    same slots, different physical layout.
+    """
+
+    def test_dp_mesh_bit_exact_vs_single_chip(self, model):
+        """Pure DP changes only WHERE rows run, not any reduction order —
+        greedy serving must be token-identical to the single-chip engine."""
+        from rho_tts_tpu.parallel.inference import enable_data_parallel
+        from rho_tts_tpu.parallel.mesh import create_mesh
+
+        texts = TEXTS[:4]
+        eng0 = ServingEngine(model, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        base = [eng0.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng0.run_until_idle()
+
+        meshed = QwenTTSModel(PRESETS["tiny"], params=model.params, seed=0)
+        enable_data_parallel(meshed, create_mesh(2, model_parallel=1))
+        eng = ServingEngine(meshed, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        reqs = [eng.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng.run_until_idle()
+
+        for r0, r in zip(base, reqs):
+            assert r.done()
+            np.testing.assert_array_equal(r.codes, r0.codes)
+
+    def test_tp_mesh_matches_same_mesh_oneshot(self, model):
+        """Under TP the row-parallel psums reorder fp32 reductions, so
+        token-exactness vs SINGLE-CHIP is not guaranteed (near-ties on
+        near-flat random-weight logits flip; the repo's TP logit parity is
+        6e-2 allclose, tests/test_train_sharded.py). The engine pin is
+        therefore against the SAME-MESH one-shot path: identical TP
+        reductions → identical greedy tokens through the ring/scheduler
+        machinery."""
+        from rho_tts_tpu.parallel.inference import enable_tensor_parallel
+        from rho_tts_tpu.parallel.mesh import create_mesh
+
+        texts = TEXTS[:2]
+        meshed = QwenTTSModel(PRESETS["tiny"], params=model.params, seed=0)
+        enable_tensor_parallel(meshed, create_mesh(4, model_parallel=2))
+        ref = [
+            np.asarray(
+                meshed.generate_codes(
+                    [t], min_frames=8, max_frames=96, temperature=1.0, top_k=1
+                )[0]
+            )
+            for t in texts
+        ]
+        eng = ServingEngine(meshed, n_slots=2, max_prompt=64, max_frames=128, top_k=1)
+        reqs = [eng.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng.run_until_idle()
+        for r, rf in zip(reqs, ref):
+            assert r.done()
+            n = min(r.codes.shape[0], rf.shape[0])
+            np.testing.assert_array_equal(r.codes[:n], rf[:n])
