@@ -17,6 +17,7 @@ text + reference prompt) and incremental decode (one token per step inside
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -361,6 +362,28 @@ def stack_forward(
     return x, (ks, vs)
 
 
-def make_kv_cache(cfg: TransformerConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def kv_cache_dtype():
+    """KV-cache storage dtype, env-selectable (``RHO_TTS_TPU_KV_DTYPE``).
+
+    ``bf16`` (default) or ``f8`` (float8_e4m3fn). fp8 STORAGE-ONLY
+    quantization halves per-step KV HBM reads with no scale bookkeeping:
+    writes already cast to the cache dtype and the attention einsums
+    upcast to f32 in-register, so the convert fuses into the reads. The
+    KV read is ~15-25% of a decode step's HBM traffic at serving batch
+    sizes (weights dominate), so this is a capacity/bandwidth lever, not
+    a large speedup — measured numbers in BASELINE.md. e4m3 carries ~2
+    significant digits; greedy decode token sequences can diverge from
+    the bf16 cache (quality-sensitive gates should keep the default).
+    """
+    name = _os.environ.get("RHO_TTS_TPU_KV_DTYPE", "bf16")
+    table = {"bf16": jnp.bfloat16, "f8": jnp.float8_e4m3fn, "fp8": jnp.float8_e4m3fn}
+    if name not in table:
+        raise ValueError(f"RHO_TTS_TPU_KV_DTYPE={name!r}; expected bf16|f8")
+    return table[name]
+
+
+def make_kv_cache(cfg: TransformerConfig, batch: int, max_len: int, dtype=None):
+    if dtype is None:
+        dtype = kv_cache_dtype()
     shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
