@@ -341,6 +341,7 @@ class QwenTTSModel:
         model_path: Optional[str] = None,
         seed: int = 0,
         quantization: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ):
         self.config = config
         self.model_path = model_path or config.name
@@ -350,6 +351,22 @@ class QwenTTSModel:
             params = jax.jit(init_params, static_argnums=1)(
                 jax.random.PRNGKey(seed), config
             )
+        if lora_path is not None:
+            # Merge BEFORE quantization: adapters train in fp32 against the
+            # dense base; a pre-quantized export cannot be merged into.
+            from .lora import apply_lora, load_lora
+
+            blocks = params["talker"]["blocks"]
+            if not all(
+                hasattr(blocks[k], "ndim") for k in ("wqkv", "wo")
+            ):
+                raise ValueError(
+                    "lora_path requires a DENSE base (merge precedes "
+                    "quantization); load the un-quantized export instead"
+                )
+            lora, meta = load_lora(lora_path)
+            params = apply_lora(params, lora, scale=float(meta.get("scale", 1.0)))
+            logger.info("Merged LoRA adapter from %s (%s)", lora_path, meta)
         if quantization in ("int8", "int4"):
             # Weight-only quantization on the talker: int8 halves decode
             # HBM traffic, int4 halves it again (inference only — training
@@ -371,7 +388,11 @@ class QwenTTSModel:
 
     @classmethod
     def from_pretrained(
-        cls, model_path: str, seed: int = 0, quantization: Optional[str] = None
+        cls,
+        model_path: str,
+        seed: int = 0,
+        quantization: Optional[str] = None,
+        lora_path: Optional[str] = None,
     ) -> "QwenTTSModel":
         """Build from a checkpoint dir (native orbax or HF safetensors) or a
         preset name.
@@ -420,6 +441,7 @@ class QwenTTSModel:
                 model_path=model_path,
                 seed=seed,
                 quantization=requested or saved_quant,
+                lora_path=lora_path,
             )
             model.variant = manifest.get("variant")  # survives re-export
             return model
@@ -441,7 +463,8 @@ class QwenTTSModel:
                 cfg.name,
             )
         return cls(
-            cfg, params=params, model_path=model_path, seed=seed, quantization=quantization
+            cfg, params=params, model_path=model_path, seed=seed,
+            quantization=quantization, lora_path=lora_path,
         )
 
     def save_checkpoint(self, path: str) -> None:

@@ -98,6 +98,7 @@ class QwenTTS(BaseTTS):
         draft_model_path: Optional[str] = None,
         speculative_gamma: int = 4,
         speculative_residual_mode: str = "draft",
+        lora_path: Optional[str] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -131,6 +132,9 @@ class QwenTTS(BaseTTS):
         #: everywhere, acceptance truncates on predictor disagreement); see
         #: models.qwen.speculative._spec_decode.
         self.speculative_residual_mode = speculative_residual_mode
+        #: per-voice LoRA adapter dir (models.qwen.lora) merged at load,
+        #: before quantization
+        self.lora_path = lora_path
         self._draft_model = None
 
         self._max_chars_explicit = max_chars_per_segment is not None
@@ -156,7 +160,8 @@ class QwenTTS(BaseTTS):
 
             logger.info("Loading Qwen-TTS model '%s'...", self.model_path)
             self._model = QwenTTSModel.from_pretrained(
-                self.model_path, seed=self.seed, quantization=self.quantization
+                self.model_path, seed=self.seed, quantization=self.quantization,
+                lora_path=self.lora_path,
             )
             self._enable_mesh(self._model)
             # Refine max model chars from the checkpoint's context length
