@@ -410,6 +410,9 @@ def _build_app(multi_user: bool = False):
                     sv_gamma = gr.Slider(
                         1, 8, value=4, step=1, label="Speculative γ (tokens/round)"
                     )
+                sv_lora = gr.Textbox(
+                    label="LoRA adapter path (per-voice adaptation; empty = off)"
+                )
                 sv_save_btn = gr.Button("Save serving config", variant="primary")
                 sv_status = gr.Markdown("")
 
@@ -419,21 +422,21 @@ def _build_app(multi_user: bool = False):
                     return gr.update(), gr.update(), gr.update(), gr.update(), "❌ Model not found."
                 return (
                     d["quantization"], d["parallelism"], d["draft_model_path"],
-                    d["speculative_gamma"], "",
+                    d["speculative_gamma"], d["lora_path"], "",
                 )
 
-            def do_save_serving(ctx, model_id, quant, parallel, draft, gamma):
+            def do_save_serving(ctx, model_id, quant, parallel, draft, gamma, lora):
                 return cb.set_model_serving(
-                    ctx.state, model_id, quant, parallel, draft, int(gamma)
+                    ctx.state, model_id, quant, parallel, draft, int(gamma), lora
                 )
 
             sv_load_btn.click(
                 do_load_serving, [session, sv_id],
-                [sv_quant, sv_parallel, sv_draft, sv_gamma, sv_status],
+                [sv_quant, sv_parallel, sv_draft, sv_gamma, sv_lora, sv_status],
             )
             sv_save_btn.click(
                 do_save_serving,
-                [session, sv_id, sv_quant, sv_parallel, sv_draft, sv_gamma],
+                [session, sv_id, sv_quant, sv_parallel, sv_draft, sv_gamma, sv_lora],
                 [sv_status],
             )
 

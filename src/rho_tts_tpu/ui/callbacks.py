@@ -384,6 +384,7 @@ def model_serving_details(state: AppState, model_id: str) -> Optional[Dict]:
         "parallelism": p.get("parallelism") or "none",
         "draft_model_path": p.get("draft_model_path") or "",
         "speculative_gamma": int(p.get("speculative_gamma", 4)),
+        "lora_path": p.get("lora_path") or "",
     }
 
 
@@ -394,6 +395,7 @@ def set_model_serving(
     parallelism: str,
     draft_model_path: str = "",
     speculative_gamma: int = 4,
+    lora_path: str = "",
 ) -> str:
     """Persist per-model TPU serving knobs (quantization / DP-TP / draft).
 
@@ -416,6 +418,7 @@ def set_model_serving(
     p["parallelism"] = parallelism
     p["draft_model_path"] = (draft_model_path or "").strip()
     p["speculative_gamma"] = int(speculative_gamma)
+    p["lora_path"] = (lora_path or "").strip()
     m.default_params = p
     state.save()
     state.invalidate_tts()

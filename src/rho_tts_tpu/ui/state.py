@@ -27,6 +27,7 @@ _QWEN_ONLY_PARAMS = {
     "speaker", "language", "batch_size", "sound_decay_threshold",
     # TPU serving knobs (quantization is shared with chatterbox)
     "parallelism", "n_devices", "draft_model_path", "speculative_gamma",
+    "lora_path",
 }
 
 
@@ -88,6 +89,8 @@ class AppState:
             kwargs["parallelism"] = None
         if not kwargs.get("draft_model_path"):
             kwargs.pop("draft_model_path", None)
+        if not kwargs.get("lora_path"):
+            kwargs.pop("lora_path", None)
         return kwargs
 
     def get_or_create_tts(self, model: ModelConfig, voice: VoiceProfile):

@@ -353,14 +353,18 @@ class TestModelServingConfig:
         # (quantization=None == bf16), not a fabricated "int8" — a
         # Load-then-Save must not silently quantize.
         assert d == {"quantization": "bf16", "parallelism": "none",
-                     "draft_model_path": "", "speculative_gamma": 4}
-        msg = cb.set_model_serving(state, m.id, "int4", "tensor", "tiny-draft", 6)
+                     "draft_model_path": "", "speculative_gamma": 4,
+                     "lora_path": ""}
+        msg = cb.set_model_serving(
+            state, m.id, "int4", "tensor", "tiny-draft", 6, "/voices/aria-lora"
+        )
         assert msg.startswith("✅")
         d = cb.model_serving_details(state, m.id)
         assert d["quantization"] == "int4"
         assert d["parallelism"] == "tensor"
         assert d["draft_model_path"] == "tiny-draft"
         assert d["speculative_gamma"] == 6
+        assert d["lora_path"] == "/voices/aria-lora"
 
     def test_rejects_bad_values(self, tmp_path, monkeypatch):
         state, m = self._state(tmp_path, monkeypatch)
