@@ -291,6 +291,8 @@ class ServeRequest:
         max_frames: int,
         temperature: float,
         stream: bool = False,
+        priority: int = 0,
+        expires_s: Optional[float] = None,
     ):
         self.text = text
         self.speaker = speaker
@@ -301,6 +303,8 @@ class ServeRequest:
         self.max_frames = int(max_frames)
         self.temperature = float(temperature)
         self.stream = bool(stream)
+        self.priority = int(priority)
+        self.expires_s = expires_s
 
         self._event = threading.Event()
         self._cancelled = threading.Event()
@@ -513,6 +517,8 @@ class ServingEngine:
         max_frames: Optional[int] = None,
         temperature: Optional[float] = None,
         stream: bool = False,
+        priority: int = 0,
+        expires_s: Optional[float] = None,
     ) -> ServeRequest:
         """Queue one utterance; returns a future-like :class:`ServeRequest`.
 
@@ -521,6 +527,11 @@ class ServingEngine:
         vocoded through a sliding window (``stream_context`` frames of
         context) and pushed immediately, so first audio arrives after the
         request's first chunk regardless of batch-mates' lengths.
+
+        ``priority``: higher admits first (FIFO within a level).
+        ``expires_s``: a request still QUEUED this many seconds after
+        submission is dropped at admission time and resolves with a
+        timeout error — load-shedding for latency-bound callers.
         """
         if max_frames is None:
             max_frames = int(np.clip(len(text) * 1.0 + 50, self.chunk, self.max_frames))
@@ -535,13 +546,22 @@ class ServingEngine:
             max_frames=max_frames,
             temperature=self.cfg.temperature if temperature is None else temperature,
             stream=stream,
+            priority=priority,
+            expires_s=expires_s,
         )
         with self._wake:
             if self.max_queue is not None and len(self._queue) >= self.max_queue:
                 raise RuntimeError(
                     f"serving queue full ({self.max_queue}); apply backpressure"
                 )
-            self._queue.append(req)
+            if priority == 0 or all(q.priority >= priority for q in self._queue):
+                self._queue.append(req)  # common case: FIFO tail
+            else:
+                idx = next(
+                    (i for i, q in enumerate(self._queue) if q.priority < priority),
+                    len(self._queue),
+                )
+                self._queue.insert(idx, req)
             self._wake.notify()
         return req
 
@@ -556,9 +576,16 @@ class ServingEngine:
         free = self._free_rows()
         picked: List[ServeRequest] = []
         with self._lock:
+            now = time.time()
             while free[len(picked):] and self._queue:
                 req = self._queue.popleft()
-                if req.cancelled:
+                if req.cancelled or (
+                    req.expires_s is not None and now - req.t_submit > req.expires_s
+                ):
+                    if not req.cancelled:
+                        req.error = TimeoutError(
+                            f"queued longer than expires_s={req.expires_s}s"
+                        )
                     if req._chunk_q is not None:
                         req._chunk_q.put(None)
                     req._resolve()

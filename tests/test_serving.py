@@ -308,3 +308,39 @@ class TestMeshServing:
             assert r.done()
             n = min(r.codes.shape[0], rf.shape[0])
             np.testing.assert_array_equal(r.codes[:n], rf[:n])
+
+
+class TestQoS:
+    """Priority admission and queued-request expiry."""
+
+    def test_priority_admits_first(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        lo1 = eng.submit(TEXTS[0], min_frames=64, max_frames=64)
+        eng.step()  # lo1 holds the only slot
+        lo2 = eng.submit(TEXTS[1], max_frames=64, priority=0)
+        hi = eng.submit(TEXTS[2], max_frames=64, priority=5)
+        eng.run_until_idle()
+        assert hi.t_admit < lo2.t_admit  # jumped the queue
+        assert lo1.t_admit < hi.t_admit  # but never preempts a running row
+        for r in (lo1, lo2, hi):
+            assert r.done() and r.error is None
+
+    def test_fifo_within_priority(self, model):
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=64, top_k=1)
+        a = eng.submit(TEXTS[0], max_frames=64, priority=1)
+        b = eng.submit(TEXTS[1], max_frames=64, priority=1)
+        eng.run_until_idle()
+        assert a.t_admit <= b.t_admit
+
+    def test_expired_queued_request_sheds(self, model):
+        import time as _time
+
+        eng = ServingEngine(model, n_slots=1, max_prompt=64, max_frames=128, top_k=1)
+        active = eng.submit(TEXTS[0], min_frames=64, max_frames=128)
+        doomed = eng.submit(TEXTS[1], max_frames=64, expires_s=0.0)
+        _time.sleep(0.01)
+        eng.run_until_idle()
+        assert active.done() and active.error is None
+        assert doomed.done()
+        with pytest.raises(TimeoutError):
+            doomed.result(timeout=1)
