@@ -602,8 +602,13 @@ def bench_serve():
 
     # Pass 1 warms every compiled shape (prefill A-buckets, serve chunk,
     # insert, vocode buckets); pass 2 is the measurement.
+    from rho_tts_tpu.utils import profiling as _prof
+
     run_serving()
+    _prof.reset()
     eng, reqs, wall, wall_sync = run_serving()
+    for name, st in _prof.summary().items():
+        log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
     audio_sec = sum(r.n_frames for r in reqs) / frame_rate
     rtf = audio_sec / wall_sync
     log(f"serve: {n_reqs} reqs x {n_slots} slots, {audio_sec:.0f}s audio in "

@@ -28,10 +28,15 @@ at decode-chunk boundaries ("continuous batching" / in-flight batching):
   ride along as masked rows (their compute is already paid for by the
   static shape).
 
-* **Lagged harvest.** Chunk k's codes/done flags are fetched while chunk
-  k+1 executes (the same overlap trick as ``generate_codes``), so the
-  device never stalls on the host; retirement and admission run one
-  chunk behind, which the ring capacity accounts for.
+* **Lagged harvest, statistics-only.** Chunk k's done flags — the ONLY
+  per-chunk device→host transfer, a (B, steps) bitmap — are fetched
+  while chunk k+1 executes (the same overlap trick as
+  ``generate_codes``), so the device never stalls on the host;
+  retirement and admission run one chunk behind, which the ring
+  capacity accounts for. The codes themselves append to a
+  device-resident (B, F, nq) log and are vocoded straight from HBM at
+  retirement (or windowed for streaming); they cross to the host only
+  if a caller reads ``ServeRequest.codes``.
 
 Per-request sampling is NOT bit-reproducible across different schedules
 (rows share one RNG stream and draws depend on slot assignment); with
@@ -72,6 +77,19 @@ logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
+# Attribution mode: sync after every device dispatch so the per-stage
+# wall-clock summary charges device time to the stage that spent it
+# (normally dispatches are async and device time hides inside the next
+# blocking fetch). Distorts totals — for profiling runs only.
+import os as _os
+
+_SYNC = _os.environ.get("RHO_TTS_TPU_SERVE_SYNC", "0") == "1"
+
+
+def _maybe_sync(x) -> None:
+    if _SYNC:
+        np.asarray(jax.tree_util.tree_leaves(x)[0])
+
 
 # ---------------------------------------------------------------------------
 # Compiled programs
@@ -91,12 +109,15 @@ def _sample_rowtemp(logits, rng, temperature, top_k: int):
     return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2, 3))
+@partial(
+    jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2, 3, 4)
+)
 def _serve_decode_chunk(
     params: Params,
     cache_k: jnp.ndarray,  # (L, B, S, Hkv, D) ring
     cache_v: jnp.ndarray,
     key_valid: jnp.ndarray,  # (B, S)
+    codes_buf: jnp.ndarray,  # (B, F, nq) device-resident per-row code log
     cfg,  # QwenTTSConfig (static)
     col0: jnp.ndarray,  # scalar int32: global write column of step 0, already mod S
     rope_next: jnp.ndarray,  # (B,) rope position of this chunk's first token
@@ -121,10 +142,13 @@ def _serve_decode_chunk(
 
     Every per-row state array lives ON DEVICE between chunks (the chunk
     returns ``rope_next``/``frames_done`` advanced by ``steps``); the
-    scheduler only dispatches and reads back the lagged codes/done
-    flags. On relay-attached hosts each host→device upload costs a
-    round trip, so per-chunk state uploads were the dominant serving
-    overhead before this layout.
+    scheduler only dispatches and reads back the lagged DONE FLAGS — the
+    codes themselves append to ``codes_buf`` (per-row logical frame
+    positions, scatter-dropped past its capacity) and stay in HBM until
+    vocode reads them there. On relay-attached hosts each host→device
+    transfer costs a round trip, so both per-chunk state uploads and
+    per-chunk code fetches were dominant serving overheads before this
+    layout.
     """
     b = last_codes.shape[0]
     nq = cfg.codec.n_codebooks
@@ -178,12 +202,25 @@ def _serve_decode_chunk(
     carry0 = (cache_k, cache_v, key_valid, last_codes, done, rng)
     carry, (codes_seq, done_seq) = jax.lax.scan(step, carry0, jnp.arange(steps))
     cache_k, cache_v, key_valid, last_codes, done, rng = carry
+    codes_chunk = jnp.transpose(codes_seq, (1, 0, 2))  # (B, steps, nq)
+    done_chunk = jnp.transpose(done_seq, (1, 0))  # (B, steps)
+    # Append this chunk's codes at each row's logical frame positions.
+    # The frame AT the first EOS and everything after zero out so the
+    # buffer region past a row's end matches the zero-padding the bucketed
+    # vocode expects. Writes past capacity (retired rows idling as masked
+    # compute) drop.
+    idx = frames_done[:, None] + jnp.arange(steps, dtype=jnp.int32)[None, :]
+    idx = jnp.where(active[:, None], idx, codes_buf.shape[1])  # drop inactive
+    codes_z = jnp.where(done_chunk[..., None], 0, codes_chunk)
+    codes_buf = codes_buf.at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], idx
+    ].set(codes_z, mode="drop")
     return (
-        jnp.transpose(codes_seq, (1, 0, 2)),  # (B, steps, nq)
-        jnp.transpose(done_seq, (1, 0)),  # (B, steps)
+        done_chunk,
         cache_k,
         cache_v,
         key_valid,
+        codes_buf,
         last_codes,
         done,
         rng,
@@ -239,16 +276,23 @@ def _admit_sample(logits, rng, min_frames, temperature, top_k: int, eos: int):
 @jax.jit
 def _admit_full(
     last_codes, done, active, rope_next, frames_done, min_frames, temperature,
-    rows, tok0, done0, lens, minf, temps,
+    codes_buf, rows, tok0, done0, lens, minf, temps,
 ):
     """Write the admitted rows into every device-resident state carry.
 
     Duplicate ``rows`` entries (bucket padding) carry identical values.
+    Frame 0 of the code log is the prefill-sampled primary token (residuals
+    zero — same convention as ``generate_codes``); later frames beyond a
+    new request's end are zeroed by the chunk writes and masked again at
+    vocode time, so the previous occupant's log never leaks through.
     """
     nq = last_codes.shape[1]
     first = jnp.concatenate(
         [tok0[:, None], jnp.zeros((tok0.shape[0], nq - 1), jnp.int32)], axis=-1
     )
+    f = codes_buf.shape[1]
+    row0 = jnp.zeros((tok0.shape[0], f, nq), codes_buf.dtype)
+    row0 = row0.at[:, 0, 0].set(tok0)
     return (
         last_codes.at[rows].set(first),
         done.at[rows].set(done0),
@@ -257,6 +301,7 @@ def _admit_full(
         frames_done.at[rows].set(1),  # frame 0 = the prefill-sampled token
         min_frames.at[rows].set(minf),
         temperature.at[rows].set(temps),
+        codes_buf.at[rows].set(row0),
     )
 
 
@@ -264,6 +309,40 @@ def _admit_full(
 def _clear_rows(active, done, rows):
     """Deactivate retired rows (they keep decoding pads until re-admitted)."""
     return active.at[rows].set(False), done.at[rows].set(True)
+
+
+@partial(jax.jit, static_argnames=("cfg", "t"))
+def _vocode_rows(params: Params, cfg, codes_buf, rows, ends, t: int):
+    """Vocode ``codes_buf[rows, :t]`` with frames ≥ ``ends`` zeroed.
+
+    One program per (group size, t) bucket: gather + mask + vocode, no
+    host round trip for the codes. Returns (wav (G, t*hop), masked codes
+    (G, t, nq) — the latter backs the lazy ``ServeRequest.codes`` fetch).
+    """
+    f = codes_buf.shape[1]
+    te = min(t, f)
+    codes = codes_buf[rows, :te]
+    if t > te:
+        codes = jnp.pad(codes, ((0, 0), (0, t - te), (0, 0)))
+    mask = jnp.arange(t, dtype=jnp.int32)[None, :] < ends[:, None]
+    codes = jnp.where(mask[..., None], codes, 0)
+    return _vocode(params, cfg, codes), codes
+
+
+@partial(jax.jit, static_argnames=("cfg", "w"))
+def _vocode_windows(params: Params, cfg, codes_buf, rows, los, ends, w: int):
+    """Vocode per-row windows ``codes_buf[row, lo:lo+w]`` (frames ≥ end
+    zeroed) for streaming emission — the sliding-window pieces never
+    round-trip through the host."""
+    gathered = codes_buf[rows]  # (G, F, nq)
+    win = jax.vmap(
+        lambda r, lo: jax.lax.dynamic_slice(
+            r, (lo, 0), (w, r.shape[1])
+        )
+    )(gathered, los)
+    mask = (los[:, None] + jnp.arange(w, dtype=jnp.int32)[None, :]) < ends[:, None]
+    win = jnp.where(mask[..., None], win, 0)
+    return _vocode(params, cfg, win)
 
 
 # ---------------------------------------------------------------------------
@@ -310,7 +389,8 @@ class ServeRequest:
         self._cancelled = threading.Event()
         self._chunk_q = _queue.Queue() if stream else None
         self.wav: Optional[jnp.ndarray] = None  # device array until fetched
-        self.codes: Optional[np.ndarray] = None  # trimmed (n_frames, nq)
+        self._codes_np: Optional[np.ndarray] = None  # trimmed (n_frames, nq)
+        self._codes_ref = None  # (device codes group, row-in-group, end)
         self.sample_rate: Optional[int] = None
         self.error: Optional[BaseException] = None
         self.n_frames: int = 0
@@ -337,6 +417,16 @@ class ServeRequest:
             raise self.error
         if self.cancelled:
             raise RuntimeError("request was cancelled")
+
+    @property
+    def codes(self) -> Optional[np.ndarray]:
+        """Trimmed (n_frames, nq) code matrix; fetched from HBM on first
+        access (the serving hot path never pays the host transfer)."""
+        if self._codes_np is None and self._codes_ref is not None:
+            arr, b, end = self._codes_ref
+            self._codes_np = np.asarray(arr[b])[:end]
+            self._codes_ref = None
+        return self._codes_np
 
     def cancel(self) -> None:
         """Cooperative cancel: queued requests are dropped at admission,
@@ -372,23 +462,18 @@ class ServeRequest:
 
 
 class _Slot:
-    """Host-side bookkeeping for one batch row."""
+    """Host-side bookkeeping for one batch row.
 
-    __slots__ = (
-        "req", "codes", "done_seen", "frames", "first_tok",
-        "emitted", "pieces",
-    )
+    The codes themselves live in the engine's device-resident
+    ``_codes_buf`` row; the host tracks only frame counters and EOS
+    position (reconstructed from the harvested done flags)."""
+
+    __slots__ = ("req", "done_seen", "frames", "emitted", "pieces")
 
     def __init__(self):
         self.req: Optional[ServeRequest] = None
-        self.codes: List[np.ndarray] = []  # harvested (steps, nq) pieces
         self.done_seen: Optional[int] = None  # frame idx of first EOS, if seen
         self.frames = 0  # frames harvested so far (incl. frame 0)
-        # Frame 0's primary code stays a DEVICE ref (fetched only at
-        # retirement): fetching it at admission would stall the decode
-        # stream on prefill completion. (Streaming rows materialize it at
-        # their first harvest — prefill is long done by then.)
-        self.first_tok = None  # (tok0_device_array, row_index)
         self.emitted = 0  # frames already streamed out (stream=True rows)
         self.pieces: List[np.ndarray] = []  # streamed waveform pieces
 
@@ -481,6 +566,16 @@ class ServingEngine:
         self._min_frames = place(jnp.zeros((self.n_slots,), jnp.int32), "data")
         self._temp = place(
             jnp.full((self.n_slots,), self.cfg.temperature, jnp.float32), "data"
+        )
+        # Device-resident per-row code log: frame 0 (prefill-sampled) plus
+        # up to max_frames of decode, with one chunk of slack so streaming
+        # windows can slice a full bucket at the tail.
+        self._codes_buf = place(
+            jnp.zeros(
+                (self.n_slots, self.max_frames + self.chunk, self.cfg.codec.n_codebooks),
+                jnp.int32,
+            ),
+            "data",
         )
         self._rng = jax.random.PRNGKey(seed)
 
@@ -596,6 +691,16 @@ class ServingEngine:
 
         # Build per-request prompt arrays (each may carry its own speaker /
         # reference audio), then left-pad to the group bucket and stack.
+        with profiling.stage("serve/admit_build"):
+            built = self._admit_build(picked)
+        if not built:
+            return 0
+        with profiling.stage("serve/admit_prefill"):
+            n = self._admit_prefill(built)
+        return n
+
+    def _admit_build(self, picked: List[ServeRequest]):
+        """Host-side prompt array construction for an admission group."""
         built = []
         for req in picked:
             arrays, lens, p = self.model._build_prompt_arrays(
@@ -610,9 +715,11 @@ class ServingEngine:
                 req._resolve()
                 continue
             built.append((req, arrays, lens[0], p))
-        if not built:
-            return 0
+        return built
 
+    def _admit_prefill(self, built) -> int:
+        """Prefill the admission group and scatter it into the ring."""
+        free = self._free_rows()
         p_group = max(p for _, _, _, p in built)
         a_real = len(built)
         a = 1 << (a_real - 1).bit_length()  # admit-batch bucket (1,2,4,8,…)
@@ -672,9 +779,10 @@ class ServingEngine:
             rows_arr, pk, pv, pkv, jnp.int32(self._col),
         )
         (self._last_codes, self._done, self._active_dev, self._rope_next,
-         self._frames_done, self._min_frames, self._temp) = _admit_full(
+         self._frames_done, self._min_frames, self._temp,
+         self._codes_buf) = _admit_full(
             self._last_codes, self._done, self._active_dev, self._rope_next,
-            self._frames_done, self._min_frames, self._temp,
+            self._frames_done, self._min_frames, self._temp, self._codes_buf,
             rows_arr, tok0, done0, jnp.asarray(lens_arr),
             jnp.asarray(min_f), jnp.asarray(temps),
         )
@@ -685,13 +793,12 @@ class ServingEngine:
             self._active[row] = True
             slot = self._slots[row]
             slot.req = req
-            slot.codes = []
             slot.pieces = []
             slot.emitted = 0
-            slot.first_tok = (tok0, j)
             slot.done_seen = None  # EOS-at-frame-0 surfaces via the done carry
             slot.frames = 1
             req.t_admit = now
+        _maybe_sync(self._last_codes)
         return a_real
 
     def _flush(self) -> None:
@@ -701,38 +808,31 @@ class ServingEngine:
             self._harvest_one(pending)
 
     def _harvest_one(self, pending) -> None:
-        """Fetch one chunk's codes/done flags and retire finished rows."""
-        codes_dev, done_dev, owners = pending
+        """Fetch one chunk's done flags and retire finished rows.
+
+        The only per-chunk device→host transfer is the (B, steps) done
+        bitmap — the codes stay in the device-resident log until vocode
+        reads them there."""
+        done_dev, owners = pending
         with profiling.stage("serve/harvest"):
-            packed = np.asarray(
-                jnp.concatenate([codes_dev, done_dev[..., None].astype(jnp.int32)], -1)
-            )
-        codes, dones = packed[..., :-1], packed[..., -1].astype(bool)
+            dones = np.asarray(done_dev)
 
         retire: List[int] = []
         emits: List[Tuple[int, int, int, int]] = []  # (row, lo, hi, emit_from)
+        steps = dones.shape[1]
         for row in range(self.n_slots):
             req = owners[row]
             slot = self._slots[row]
             if req is None or slot.req is not req:
                 continue  # row was empty, or re-admitted since this chunk ran
             if slot.done_seen is None:
-                if req.stream and slot.first_tok is not None:
-                    # Materialize frame 0 now (prefill finished chunks ago;
-                    # this fetch no longer stalls the decode stream).
-                    tok0_dev, j = slot.first_tok
-                    first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
-                    first[0, 0] = int(np.asarray(tok0_dev[j]))
-                    slot.codes.insert(0, first)
-                    slot.first_tok = None
-                slot.codes.append(codes[row])
                 hit = np.nonzero(dones[row])[0]
                 if hit.size:
                     slot.done_seen = slot.frames + int(hit[0])
                     self.frames_decoded += int(hit[0]) + 1
                 else:
-                    self.frames_decoded += codes.shape[1]
-                slot.frames += codes.shape[1]
+                    self.frames_decoded += steps
+                slot.frames += steps
             finished = (
                 slot.done_seen is not None
                 or slot.frames >= req.max_frames
@@ -756,80 +856,73 @@ class ServingEngine:
     def _emit_stream(self, emits: List[Tuple[int, int, int, int]]) -> None:
         """Vocode sliding windows for streaming rows and push the pieces.
 
-        Windows with the same padded length share one vocoder dispatch.
-        The conv vocoder is local, so a window with ``stream_context``
-        frames of left context reproduces the full-utterance vocode for
-        every emitted sample (same property ``stream_chunks`` golden-
-        tests against the one-shot path).
+        Windows with the same padded length share one vocoder dispatch,
+        reading straight from the device code log (``_vocode_windows``) —
+        only the emitted waveform piece crosses to the host. The conv
+        vocoder is local, so a window with ``stream_context`` frames of
+        left context reproduces the full-utterance vocode for every
+        emitted sample (same property ``stream_chunks`` golden-tests
+        against the one-shot path).
         """
         hop = self.cfg.codec.hop
-        by_len: Dict[int, List[Tuple[int, int, int, int, np.ndarray]]] = {}
+        by_len: Dict[int, List[Tuple[int, int, int, int]]] = {}
         for row, lo, hi, emit_from in emits:
-            slot = self._slots[row]
-            buf = np.concatenate(slot.codes, axis=0)
-            window = buf[lo:hi]
-            t = _round_up(window.shape[0], self.chunk)
-            by_len.setdefault(t, []).append((row, lo, hi, emit_from, window))
-        for t, group in by_len.items():
-            batch = np.stack(
-                [np.pad(w, ((0, t - w.shape[0]), (0, 0))) for _, _, _, _, w in group]
-            )
-            wav = _vocode(self.model.params, self.cfg, jnp.asarray(batch))
-            for b, (row, lo, hi, emit_from, w) in enumerate(group):
-                slot = self._slots[row]
-                req = slot.req
-                emit_to = slot.emitted  # set before the dispatch
-                piece = np.asarray(
-                    wav[b, (emit_from - lo) * hop : (emit_to - lo) * hop]
+            w = _round_up(hi - lo, self.chunk)
+            by_len.setdefault(w, []).append((row, lo, hi, emit_from))
+        for w, group in by_len.items():
+            with profiling.stage("serve/stream_vocode"):
+                rows = jnp.asarray(np.array([g[0] for g in group], np.int32))
+                los = jnp.asarray(np.array([g[1] for g in group], np.int32))
+                ends = jnp.asarray(np.array([g[2] for g in group], np.int32))
+                wav = _vocode_windows(
+                    self.model.params, self.cfg, self._codes_buf, rows, los, ends, w
                 )
-                slot.pieces.append(piece)
-                if req.t_first_audio is None:
-                    req.t_first_audio = time.time()  # after the fetch
-                req._chunk_q.put((piece, self.model.sample_rate))
+                for b, (row, lo, hi, emit_from) in enumerate(group):
+                    slot = self._slots[row]
+                    req = slot.req
+                    emit_to = slot.emitted  # set before the dispatch
+                    piece = np.asarray(
+                        wav[b, (emit_from - lo) * hop : (emit_to - lo) * hop]
+                    )
+                    slot.pieces.append(piece)
+                    if req.t_first_audio is None:
+                        req.t_first_audio = time.time()  # after the fetch
+                    req._chunk_q.put((piece, self.model.sample_rate))
 
     def _retire(self, rows: List[int]) -> None:
-        """Assemble, trim, and (bucket-)vocode finished rows; free slots.
+        """Trim and (bucket-)vocode finished rows straight from the device
+        code log; free slots.
 
         Rows are freed BEFORE vocoding so the same step's admission can
-        refill them; the request handles are captured first.
+        refill them; the vocode/codes-gather dispatches issued here are
+        ordered ahead of any re-admission's buffer writes on the device
+        stream, so the retiring data is read before it can be overwritten.
         """
         self._active_dev, self._done = _clear_rows(
             self._active_dev, self._done,
             jnp.asarray(np.array(rows, np.int32)),
         )
-        by_len: Dict[int, List[Tuple[ServeRequest, np.ndarray]]] = {}
+        by_len: Dict[int, List[Tuple[ServeRequest, int, int]]] = {}
         for row in rows:
             slot = self._slots[row]
             req = slot.req
             self._active[row] = False
             slot.req = None
             if req.cancelled:
-                slot.codes = []
                 slot.pieces = []
                 if req._chunk_q is not None:
                     req._chunk_q.put(None)
                 req._resolve()
                 continue
-            if slot.first_tok is not None:
-                # Frame 0's token was left on device at admission; fetch now
-                # (retirement-time, off the decode critical path). Streaming
-                # rows already materialized it at their first harvest.
-                tok0_dev, j = slot.first_tok
-                first = np.zeros((1, self.cfg.codec.n_codebooks), np.int32)
-                first[0, 0] = int(np.asarray(tok0_dev[j]))
-                slot.codes.insert(0, first)
-                slot.first_tok = None
-            seq = np.concatenate(slot.codes, axis=0)
-            slot.codes = []
-            end = slot.done_seen if slot.done_seen is not None else seq.shape[0]
+            end = slot.done_seen if slot.done_seen is not None else slot.frames
             end = max(min(end, req.max_frames), 1)
-            seq = seq[:end]
             req.n_frames = end
-            req.codes = seq
             self.frames_delivered += end
             if req.stream:
                 # The streamed pieces ARE the waveform (final flush already
-                # emitted in _emit_stream before retirement).
+                # emitted in _emit_stream before retirement); codes stay
+                # device-resident behind the lazy property.
+                req._codes_ref = (self._codes_buf[row, :end][None], 0, end)
                 req.wav = np.concatenate(slot.pieces) if slot.pieces else np.zeros(0, np.float32)
                 req.sample_rate = self.model.sample_rate
                 slot.pieces = []
@@ -839,19 +932,24 @@ class ServingEngine:
                 req._resolve()
                 continue
             t = _round_up(end, self.chunk)
-            by_len.setdefault(t, []).append((req, seq))
+            by_len.setdefault(t, []).append((req, row, end))
 
         hop = self.cfg.codec.hop
-        for t, group in by_len.items():
-            batch = np.stack(
-                [np.pad(seq, ((0, t - seq.shape[0]), (0, 0))) for _, seq in group]
-            )
-            wav = _vocode(self.model.params, self.cfg, jnp.asarray(batch))
-            for b, (req, seq) in enumerate(group):
-                req.wav = wav[b, : seq.shape[0] * hop]
-                req.sample_rate = self.model.sample_rate
-                self.requests_done += 1
-                req._resolve()
+        with profiling.stage("serve/retire_vocode"):
+            for t, group in by_len.items():
+                rows_arr = jnp.asarray(np.array([g[1] for g in group], np.int32))
+                ends_arr = jnp.asarray(np.array([g[2] for g in group], np.int32))
+                wav, codes_masked = _vocode_rows(
+                    self.model.params, self.cfg, self._codes_buf,
+                    rows_arr, ends_arr, t,
+                )
+                _maybe_sync(wav)
+                for b, (req, _row, end) in enumerate(group):
+                    req._codes_ref = (codes_masked, b, end)
+                    req.wav = wav[b, : end * hop]
+                    req.sample_rate = self.model.sample_rate
+                    self.requests_done += 1
+                    req._resolve()
 
     # -- main loop ----------------------------------------------------------
 
@@ -863,30 +961,34 @@ class ServingEngine:
             self._admit()
         if self._active.any():
             owners = [self._slots[i].req for i in range(self.n_slots)]
-            (codes_chunk, done_chunk, self._cache_k, self._cache_v,
-             self._key_valid, self._last_codes, self._done, self._rng,
-             self._rope_next, self._frames_done) = (
-                _serve_decode_chunk(
-                    self.model.params,
-                    self._cache_k, self._cache_v, self._key_valid,
-                    self.cfg,
-                    jnp.int32(self._col),
-                    self._rope_next,
-                    self._last_codes,
-                    self._done,
-                    self._active_dev,
-                    self._rng,
-                    self._temp,
-                    self._frames_done,
-                    self._min_frames,
-                    self.chunk,
-                    self.top_k,
+            with profiling.stage("serve/dispatch"):
+                (done_chunk, self._cache_k, self._cache_v,
+                 self._key_valid, self._codes_buf, self._last_codes,
+                 self._done, self._rng,
+                 self._rope_next, self._frames_done) = (
+                    _serve_decode_chunk(
+                        self.model.params,
+                        self._cache_k, self._cache_v, self._key_valid,
+                        self._codes_buf,
+                        self.cfg,
+                        jnp.int32(self._col),
+                        self._rope_next,
+                        self._last_codes,
+                        self._done,
+                        self._active_dev,
+                        self._rng,
+                        self._temp,
+                        self._frames_done,
+                        self._min_frames,
+                        self.chunk,
+                        self.top_k,
+                    )
                 )
-            )
+                _maybe_sync(done_chunk)
             if self._t_first is None:
                 self._t_first = time.time()
             self._col = (self._col + self.chunk) % self.ring
-            prev, self._pending = self._pending, (codes_chunk, done_chunk, owners)
+            prev, self._pending = self._pending, (done_chunk, owners)
             if prev is not None:
                 self._harvest_one(prev)
             self._t_last = time.time()
@@ -945,7 +1047,6 @@ class ServingEngine:
             if slot.req is not None:
                 abandoned.append(slot.req)
                 slot.req = None
-                slot.codes = []
                 slot.pieces = []
         self._active[:] = False
         for req in abandoned:
@@ -956,6 +1057,7 @@ class ServingEngine:
                 req._resolve()
         self._pending = None
         self._cache_k = self._cache_v = self._key_valid = None
+        self._codes_buf = None
 
     # -- stats ---------------------------------------------------------------
 
