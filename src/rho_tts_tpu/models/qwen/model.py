@@ -321,6 +321,26 @@ def _vocode(params: Params, cfg: QwenTTSConfig, codes: jnp.ndarray) -> jnp.ndarr
     return codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped)
 
 
+@partial(jax.jit, static_argnames=("cfg", "t"))
+def _vocode_rows(params: Params, cfg: QwenTTSConfig, codes_buf, rows, ends, t: int):
+    """Vocode ``codes_buf[rows, :t]`` with frames ≥ ``ends`` zeroed.
+
+    One program per (group size, t) bucket: gather + end-mask + vocode —
+    the codes stay in HBM, matching the host path's trim-then-zero-pad
+    semantics exactly (post-EOS pads and past-budget samples mask to 0).
+    Returns (wav (G, t*hop), masked codes (G, t, nq)); the latter backs
+    lazy host fetches of the trimmed code matrices.
+    """
+    f = codes_buf.shape[1]
+    te = min(t, f)
+    codes = codes_buf[rows, :te]
+    if t > te:
+        codes = jnp.pad(codes, ((0, 0), (0, t - te), (0, 0)))
+    mask = jnp.arange(t, dtype=jnp.int32)[None, :] < ends[:, None]
+    codes = jnp.where(mask[..., None], codes, 0)
+    return _vocode(params, cfg, codes), codes
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _encode_reference(params: Params, cfg: QwenTTSConfig, wav: jnp.ndarray) -> jnp.ndarray:
     return codec_lib.encode_to_codes(params["codec"], cfg.codec, wav)
@@ -659,6 +679,52 @@ class QwenTTSModel:
         same arguments, so callers that need the prompt arrays themselves
         (e.g. distillation batch building) don't tokenize twice.
         """
+        codes_dev, done_dev, n_real = self._generate_codes_arrays(
+            texts, speaker=speaker, language=language, ref_audio=ref_audio,
+            ref_text=ref_text, max_frames=max_frames, min_frames=min_frames,
+            temperature=temperature, top_k=top_k, rng=rng,
+            cancel_check=cancel_check, prebuilt_prompt=prebuilt_prompt,
+        )
+        # One packed fetch: codes and the done flags ride the same transfer
+        with profiling.stage("qwen/fetch_codes"):
+            packed = np.asarray(
+                jnp.concatenate(
+                    [codes_dev, done_dev[..., None].astype(jnp.int32)], axis=-1
+                )
+            )
+        codes = packed[..., :-1]  # (B, T, nq)
+        done_seq = packed[..., -1].astype(bool)  # (B, T)
+
+        outputs = []
+        for i in range(n_real):  # drop mesh padding rows
+            d = np.nonzero(done_seq[i])[0]
+            end = int(d[0]) if d.size else codes.shape[1]
+            end = max(end, 1)
+            outputs.append(codes[i, :end])
+        return outputs
+
+    def _generate_codes_arrays(
+        self,
+        texts: Sequence[str],
+        speaker: Optional[str] = None,
+        language: str = "English",
+        ref_audio: Optional[str] = None,
+        ref_text: Optional[str] = None,
+        max_frames: Optional[int] = None,
+        min_frames: int = 0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        rng: Optional[jnp.ndarray] = None,
+        cancel_check=None,
+        prebuilt_prompt=None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+        """Device-array core of :meth:`generate_codes`.
+
+        Returns ``(codes (B, T, nq) DEVICE, done (B, T) DEVICE, n_real)``
+        — callers that consume codes on device (``synthesize`` vocodes
+        them straight from HBM) fetch only the done bitmap; only
+        ``generate_codes`` itself pays the full code transfer.
+        """
         cfg = self.config
         temperature = cfg.temperature if temperature is None else temperature
         top_k = cfg.top_k if top_k is None else top_k
@@ -768,27 +834,11 @@ class QwenTTSModel:
                 break
             prev_flag = jnp.all(done)
 
-        # One packed fetch: codes and the done flags ride the same transfer
-        with profiling.stage("qwen/fetch_codes"):
-            packed = np.asarray(
-                jnp.concatenate(
-                    [
-                        jnp.concatenate(all_codes, axis=1),
-                        jnp.concatenate(all_done, axis=1)[..., None].astype(jnp.int32),
-                    ],
-                    axis=-1,
-                )
-            )
-        codes = packed[..., :-1]  # (B, T, nq)
-        done_seq = packed[..., -1].astype(bool)  # (B, T)
-
-        outputs = []
-        for i in range(n_real):  # drop mesh padding rows
-            d = np.nonzero(done_seq[i])[0]
-            end = int(d[0]) if d.size else codes.shape[1]
-            end = max(end, 1)
-            outputs.append(codes[i, :end])
-        return outputs
+        return (
+            jnp.concatenate(all_codes, axis=1),
+            jnp.concatenate(all_done, axis=1),
+            n_real,
+        )
 
     def synthesize(
         self,
@@ -804,10 +854,17 @@ class QwenTTSModel:
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
     ) -> Tuple[List[jnp.ndarray], int]:
-        """Full text→waveform path. Returns (list of 1-D waveforms, sr)."""
+        """Full text→waveform path. Returns (list of 1-D waveforms, sr).
+
+        The codes never leave the device: decode accumulates them in HBM,
+        the host fetches only the (B, T) done bitmap to learn each row's
+        length, and the vocoder reads the code array in place (gather +
+        end-mask per length bucket). On relay-attached hosts this removes
+        the dominant fetch/re-upload pair from the synthesis wall clock.
+        """
         single = isinstance(texts, str)
         text_list = [texts] if single else list(texts)
-        codes = self.generate_codes(
+        codes_dev, done_dev, n_real = self._generate_codes_arrays(
             text_list,
             speaker=speaker,
             language=language,
@@ -820,22 +877,31 @@ class QwenTTSModel:
             rng=rng,
             cancel_check=cancel_check,
         )
+        with profiling.stage("qwen/fetch_done"):
+            done_np = np.asarray(done_dev)[:n_real]
+        ends = []
+        for i in range(n_real):
+            d = np.nonzero(done_np[i])[0]
+            ends.append(max(int(d[0]) if d.size else done_np.shape[1], 1))
+
         hop = self.config.codec.hop
         # Batch rows of equal frame count together for the vocoder; decode
         # each distinct length as one padded batch (bucketed to CHUNK).
-        waves: List[Optional[jnp.ndarray]] = [None] * len(codes)
+        waves: List[Optional[jnp.ndarray]] = [None] * n_real
         buckets: Dict[int, List[int]] = {}
-        for i, c in enumerate(codes):
-            t = _round_up(c.shape[0], _chunk())
+        for i, end in enumerate(ends):
+            t = _round_up(end, _chunk())
             buckets.setdefault(t, []).append(i)
         for t, idxs in buckets.items():
-            batch = np.stack(
-                [np.pad(codes[i], ((0, t - codes[i].shape[0]), (0, 0))) for i in idxs]
-            )
             with profiling.stage("qwen/vocode"):
-                wav = _vocode(self.params, self.config, jnp.asarray(batch))
+                wav, _ = _vocode_rows(
+                    self.params, self.config, codes_dev,
+                    jnp.asarray(np.array(idxs, np.int32)),
+                    jnp.asarray(np.array([ends[i] for i in idxs], np.int32)),
+                    t,
+                )
             for row, i in enumerate(idxs):
-                waves[i] = wav[row, : codes[i].shape[0] * hop]
+                waves[i] = wav[row, : ends[i] * hop]
         return waves, self.sample_rate
 
     def synthesize_speculative(

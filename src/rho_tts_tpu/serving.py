@@ -71,6 +71,7 @@ from .models.qwen.model import (
     _prefill,
     _round_up,
     _vocode,
+    _vocode_rows,
 )
 
 logger = logging.getLogger(__name__)
@@ -309,24 +310,6 @@ def _admit_full(
 def _clear_rows(active, done, rows):
     """Deactivate retired rows (they keep decoding pads until re-admitted)."""
     return active.at[rows].set(False), done.at[rows].set(True)
-
-
-@partial(jax.jit, static_argnames=("cfg", "t"))
-def _vocode_rows(params: Params, cfg, codes_buf, rows, ends, t: int):
-    """Vocode ``codes_buf[rows, :t]`` with frames ≥ ``ends`` zeroed.
-
-    One program per (group size, t) bucket: gather + mask + vocode, no
-    host round trip for the codes. Returns (wav (G, t*hop), masked codes
-    (G, t, nq) — the latter backs the lazy ``ServeRequest.codes`` fetch).
-    """
-    f = codes_buf.shape[1]
-    te = min(t, f)
-    codes = codes_buf[rows, :te]
-    if t > te:
-        codes = jnp.pad(codes, ((0, 0), (0, t - te), (0, 0)))
-    mask = jnp.arange(t, dtype=jnp.int32)[None, :] < ends[:, None]
-    codes = jnp.where(mask[..., None], codes, 0)
-    return _vocode(params, cfg, codes), codes
 
 
 @partial(jax.jit, static_argnames=("cfg", "w"))
