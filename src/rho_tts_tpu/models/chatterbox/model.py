@@ -242,6 +242,22 @@ def _vocode(params, cfg: ChatterboxConfig, tokens):
     return codec_lib.decode_from_codes(params["codec"], cfg.codec, clamped[..., None])
 
 
+def _vocode_masked(params, cfg: ChatterboxConfig, toks_dev, end: int, t: int):
+    """Vocode the device-resident token history ``toks_dev[:t]`` with
+    tokens ≥ ``end`` zeroed — the host fetches only done flags to learn
+    ``end``; the tokens themselves never round-trip through the host
+    (matches the old trim-then-zero-pad semantics exactly). The mask ops
+    run eagerly on device arrays (no host payloads), keeping ``_vocode``
+    as the single jit boundary."""
+    full = toks_dev.shape[0]
+    te = min(t, full)
+    toks = toks_dev[:te]
+    if t > te:
+        toks = jnp.pad(toks, (0, t - te))
+    toks = jnp.where(jnp.arange(t, dtype=jnp.int32) < end, toks, 0)
+    return _vocode(params, cfg, toks[None])
+
+
 class ChatterboxModel:
     """Voice-cloning TTS with conditionals caching and CFG decoding."""
 
@@ -501,24 +517,18 @@ class ChatterboxModel:
                 break
             prev_flag = jnp.all(done)
 
-        # One packed fetch for the whole token/done history (cond row only)
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    jnp.concatenate(all_toks, axis=1)[0],
-                    jnp.concatenate(all_done, axis=1)[0].astype(jnp.int32),
-                ]
-            )
-        )
-        toks, done_seq = np.split(packed, 2)
+        # The tokens stay ON DEVICE: fetch only the done bitmap (one small
+        # transfer) to find the EOS cut, then vocode the device-resident
+        # history in place with tokens ≥ end masked to the pad value the
+        # old host path wrote (zero).
+        toks_dev = jnp.concatenate(all_toks, axis=1)[0]
+        done_seq = np.asarray(jnp.concatenate(all_done, axis=1)[0])
         d = np.nonzero(done_seq)[0]
-        end = max(int(d[0]) if d.size else toks.shape[0], 1)
-        toks = toks[:end]
+        end = max(int(d[0]) if d.size else done_seq.shape[0], 1)
 
-        t_pad = _round_up(toks.shape[0], CHUNK)
-        batch = jnp.asarray(np.pad(toks, (0, t_pad - toks.shape[0]))[None])
-        wav = _vocode(self.params, cfg, batch)
-        return apply_watermark(wav[0, : toks.shape[0] * cfg.codec.hop])
+        t_pad = _round_up(end, CHUNK)
+        wav = _vocode_masked(self.params, cfg, toks_dev, end, t_pad)
+        return apply_watermark(wav[0, : end * cfg.codec.hop])
 
     def stream_chunks(
         self,

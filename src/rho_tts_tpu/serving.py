@@ -572,8 +572,8 @@ class ServingEngine:
         self._wake = threading.Condition(self._lock)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
-        # Lagged harvest: (codes_dev, done_dev, row→slot snapshot)
-        self._pending: Optional[Tuple[Any, Any, List[Optional[ServeRequest]]]] = None
+        # Lagged harvest: (done_dev bitmap, row→request snapshot)
+        self._pending: Optional[Tuple[Any, List[Optional[ServeRequest]]]] = None
 
         # Stats
         self.frames_decoded = 0  # real (harvested, pre-EOS) frames
