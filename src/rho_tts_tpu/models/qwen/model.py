@@ -164,7 +164,7 @@ def prompt_embeds(
     return emb
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "fused"))
 def _prefill(
     params: Params,
     cfg: QwenTTSConfig,
@@ -179,6 +179,7 @@ def _prefill(
     cache_k: jnp.ndarray,
     cache_v: jnp.ndarray,
     key_valid: jnp.ndarray,  # (B, S)
+    fused: bool = True,
 ):
     """Prompt-embedding assembly + prefill in ONE program.
 
@@ -188,6 +189,10 @@ def _prefill(
     BOS slot is the last one, marked by code_mask∧text_mask both zero with
     attn_mask set — encoded here via an explicit bos term derived from
     attn_mask minus the other masks.
+
+    ``fused=False`` disables the Pallas prefill-attention kernel so GSPMD
+    can partition the program (sequence-parallel prefill shards the prompt
+    axis over the mesh; a pallas_call has no SPMD partitioning rule).
     """
     p = ids_slotted.shape[1]
     embeds = prompt_embeds(
@@ -203,7 +208,7 @@ def _prefill(
         cache_len=jnp.int32(0),
         attn_mask=attn_mask,
         key_valid=key_valid,
-        fused_prefill=True,
+        fused_prefill=fused,
     )
     key_valid = key_valid.at[:, :p].set(attn_mask)
     logits = (h[:, -1].astype(jnp.float32)) @ params["lm_head"].astype(jnp.float32)
@@ -403,6 +408,9 @@ class QwenTTSModel:
         #: set by parallel.inference.enable_data_parallel /
         #: enable_tensor_parallel for mesh serving
         self.mesh = None
+        #: set by parallel.inference.enable_sequence_parallel — shard the
+        #: prompt (sequence) axis of prefill over the mesh's ``model`` axis
+        self.seq_parallel = False
 
     # -- Loading -----------------------------------------------------------
 
@@ -526,6 +534,18 @@ class QwenTTSModel:
         spec[batch_axis] = "data"
         return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
+    def _shard_prompt(self, x):
+        """Shard a prompt array: batch over ``data`` and — under
+        sequence-parallel prefill — the sequence axis (axis 1) over
+        ``model``. 1-D per-row arrays (e.g. spk_ids) have no sequence
+        axis and stay batch-sharded only."""
+        if self.mesh is None or not self.seq_parallel or x.ndim < 2:
+            return self._shard(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = ["data", "model"] + [None] * (x.ndim - 2)
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
     def _dp_pad(self, n: int) -> int:
         """Rows of padding needed so the batch divides the data axis."""
         if self.mesh is None:
@@ -536,14 +556,16 @@ class QwenTTSModel:
     def _shard_kv(self, cache):
         """Shard a (L, B, S, Hkv, D) KV cache: batch over ``data`` and —
         under tensor parallelism — heads over ``model``, matching the
-        column-parallel wqkv so attention runs without resharding."""
+        column-parallel wqkv so attention runs without resharding. Under
+        sequence-parallel prefill the weights are replicated, so the cache
+        stays replicated over ``model`` (only batch is sharded)."""
         if self.mesh is None:
             return cache
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axes = [None] * cache.ndim
         axes[1] = "data"
-        if self.mesh.shape.get("model", 1) > 1:
+        if self.mesh.shape.get("model", 1) > 1 and not self.seq_parallel:
             axes[3] = "model"
         return jax.device_put(cache, NamedSharding(self.mesh, P(*axes)))
 
@@ -748,7 +770,7 @@ class QwenTTSModel:
             }
             lens = lens + [lens[0]] * pad_rows
         b = n_real + pad_rows
-        sharded = {k: self._shard(jnp.asarray(v)) for k, v in arrays.items()}
+        sharded = {k: self._shard_prompt(jnp.asarray(v)) for k, v in arrays.items()}
         rope_pos = sharded["rope_pos"]
         attn_mask = sharded["attn_mask"]
 
@@ -769,7 +791,16 @@ class QwenTTSModel:
                 sharded["codes_slotted"], sharded["code_mask"],
                 sharded["spk_ids"], sharded["spk_mask"],
                 rope_pos, attn_mask, cache_k, cache_v, key_valid,
+                fused=not self.seq_parallel,
             )
+        if self.seq_parallel:
+            # GSPMD may leave the prefill outputs with sequence-axis
+            # shardings; pin the decode layout explicitly (batch over
+            # ``data``, cache replicated over ``model``) so every decode
+            # chunk compiles against the same input layout as DP serving.
+            cache_k, cache_v = self._shard_kv(cache_k), self._shard_kv(cache_v)
+            key_valid = self._shard(key_valid)
+            logits = self._shard(logits)
 
         rng, k0 = jax.random.split(rng)
         if min_frames > 0:

@@ -6,6 +6,10 @@ no hand-written communication code. The reference has no distributed layer
 loop and tensor-parallelism covers >1-chip model spans.
 """
 
-from .inference import enable_data_parallel, enable_tensor_parallel
+from .inference import (
+    enable_data_parallel,
+    enable_sequence_parallel,
+    enable_tensor_parallel,
+)
 from .mesh import create_mesh, default_mesh_shape
 from .sharding import batch_sharding, param_shardings, qwen_param_specs, shard_params

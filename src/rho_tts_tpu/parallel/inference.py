@@ -62,6 +62,37 @@ def enable_data_parallel(model, mesh: Mesh) -> None:
     )
 
 
+def enable_sequence_parallel(model, mesh: Mesh) -> None:
+    """Shard the PREFILL sequence axis over the mesh ``model`` axis.
+
+    Context/sequence parallelism for long-prompt prefill (the reference has
+    no parallelism at all — it bounds sequence length at the text level,
+    `/root/reference/src/rho_tts/base_tts.py:538-585`; here long reference
+    prompts can instead be split across chips): weights are replicated
+    (DP-style), batch rows spread over ``data``, and the prompt axis of
+    every prefill input is sharded over ``model`` — the per-token matmuls
+    (qkv/wo/ffn projections, RoPE, embedding gathers) then run on 1/mp of
+    the tokens per chip, and GSPMD inserts the one unavoidable collective:
+    an all-gather of K/V for the causal attention contraction. Decode is
+    unchanged (DP layout); the KV cache is pinned back to the decode
+    sharding at the prefill boundary.
+
+    The Pallas prefill-attention kernel is bypassed under SP (pallas_call
+    has no SPMD partitioning rule); XLA's native attention path is used.
+    """
+    if mesh.shape.get("model", 1) < 2:
+        raise ValueError(
+            "sequence-parallel prefill needs a mesh 'model' axis >= 2 "
+            f"(got mesh {dict(mesh.shape)}); create_mesh(n, model_parallel=mp)"
+        )
+    model.params = replicate_params(model.params, mesh)
+    model.mesh = mesh
+    model.seq_parallel = True
+    logger.info(
+        "Sequence-parallel prefill enabled: mesh=%s", dict(mesh.shape)
+    )
+
+
 def enable_tensor_parallel(model, mesh: Mesh) -> None:
     """Shard a model instance's weights over the mesh ``model`` axis.
 

@@ -39,6 +39,51 @@ def test_uneven_batch_padded_and_trimmed(meshed_model):
     assert len(waves) == 3
 
 
+class TestSequenceParallel:
+    """Context/sequence-parallel prefill: prompt axis over ``model``."""
+
+    def test_requires_model_axis(self):
+        model = QwenTTSModel(PRESETS["tiny"])
+        from rho_tts_tpu.parallel.inference import enable_sequence_parallel
+
+        with pytest.raises(ValueError, match="model"):
+            enable_sequence_parallel(model, create_mesh(8, model_parallel=1))
+
+    def test_sp_codes_match_unmeshed(self):
+        """SP shards only the prefill layout, never the math: same seed →
+        identical codes vs the unmeshed model (the attention contraction
+        stays whole per chip — GSPMD all-gathers K/V)."""
+        from rho_tts_tpu.parallel.inference import enable_sequence_parallel
+
+        base = QwenTTSModel(PRESETS["tiny"])
+        codes_ref = base.generate_codes(
+            ["sequence parallel prefill parity check, somewhat longer text"],
+            speaker="Aria", min_frames=8, rng=jax.random.PRNGKey(11),
+        )
+
+        sp = QwenTTSModel(PRESETS["tiny"])
+        enable_sequence_parallel(sp, create_mesh(8, model_parallel=4))
+        assert sp.seq_parallel
+        codes_sp = sp.generate_codes(
+            ["sequence parallel prefill parity check, somewhat longer text"],
+            speaker="Aria", min_frames=8, rng=jax.random.PRNGKey(11),
+        )
+        np.testing.assert_array_equal(codes_ref[0], codes_sp[0])
+
+    def test_sp_batched_synthesize(self):
+        """SP composes with data parallelism: batch rows over ``data``."""
+        from rho_tts_tpu.parallel.inference import enable_sequence_parallel
+
+        sp = QwenTTSModel(PRESETS["tiny"])
+        enable_sequence_parallel(sp, create_mesh(8, model_parallel=2))
+        waves, sr = sp.synthesize(
+            ["first sequence parallel row", "second row", "third one here"],
+            speaker="Vivian", min_frames=8,
+        )
+        assert len(waves) == 3 and sr == 24000
+        assert all(int(w.shape[-1]) > 0 for w in waves)
+
+
 def test_mesh_results_match_unmeshed():
     """Same seed → identical codes with and without the mesh."""
     base = QwenTTSModel(PRESETS["tiny"])
