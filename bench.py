@@ -178,6 +178,21 @@ def bench_pipeline():
     # figure includes regeneration + revalidation — the reference's actual
     # hot loop (/root/reference/src/rho_tts/base_tts.py:770-898).
     reject_rate = float(os.environ.get("BENCH_REJECT_RATE", "0"))
+    # BENCH_SERVE_PIPELINE=1 routes segment generation through the
+    # continuous-batching ServingEngine (engine._generate_segments_served):
+    # a rejected segment rejoins the running slot batch immediately instead
+    # of costing a lockstep extra batch round.
+    served = os.environ.get("BENCH_SERVE_PIPELINE", "0") == "1"
+    serve_kw = (
+        dict(
+            serving=True,
+            serving_slots=int(os.environ.get("BENCH_SERVE_SLOTS", "8")),
+            serving_max_prompt=256,
+            serving_max_frames=512,
+        )
+        if served
+        else {}
+    )
     if reject_rate > 0 and not full:
         # Rejection is injected at the drift gate, which only runs with
         # the full validation loop; a reject-suffixed metric measured with
@@ -188,24 +203,32 @@ def bench_pipeline():
     if full and reject_rate > 0:
 
         class RejectingQwenTTS(QwenTTS):
-            _bench_drift_round = 0
+            # Mode-agnostic forced rejection: the first k validations of
+            # each generate() fail (k = reject_rate × segment count), so
+            # the lockstep path (one big first drift call) and the served
+            # path (validations arrive in retire bursts) inject the SAME
+            # number of forced retries.
+            _bench_seen = 0
+            _bench_target = 0
             _bench_rejected = 0
 
-            def generate(self, *a, **kw):
-                self._bench_drift_round = 0
-                return super().generate(*a, **kw)
+            def generate(self, texts, *a, **kw):
+                n = len(texts) if isinstance(texts, list) else 1
+                self._bench_seen = 0
+                self._bench_target = max(1, round(n * reject_rate))
+                return super().generate(texts, *a, **kw)
 
             def _validate_accent_drift_batch(self, audios, sample_rate):
                 out = super()._validate_accent_drift_batch(audios, sample_rate)
-                self._bench_drift_round += 1
-                if self._bench_drift_round == 1:
-                    k = max(1, round(len(out) * reject_rate))
-                    self._bench_rejected += k
-                    out = [
-                        (p, False) if i < k else (p, ok)
-                        for i, (p, ok) in enumerate(out)
-                    ]
-                return out
+                new = []
+                for p, ok in out:
+                    if self._bench_seen < self._bench_target:
+                        new.append((p, False))
+                        self._bench_rejected += 1
+                    else:
+                        new.append((p, ok))
+                    self._bench_seen += 1
+                return new
 
         provider_cls = RejectingQwenTTS
 
@@ -230,6 +253,7 @@ def bench_pipeline():
             # their full compute and then pass.
             accent_drift_threshold=1.01,
             text_similarity_threshold=0.0,
+            **serve_kw,
         )
     else:
         tts = QwenTTS(
@@ -239,6 +263,7 @@ def bench_pipeline():
             max_chars_per_segment=400,
             quantization=quant,
             min_audio_sec=10.0,  # random weights would otherwise EOS instantly
+            **serve_kw,
         )
     # Random-weight vocoder output is quieter than the -50 dB trim gate;
     # disable trimming so the bench measures real audio durations.
@@ -271,6 +296,8 @@ def bench_pipeline():
     suffix = "_full_validation" if full else ""
     if reject_rate > 0:
         suffix += f"_reject{int(reject_rate * 100)}"
+    if served:
+        suffix += "_served"
     print(json.dumps({
         "metric": f"qwen_{preset}_pipeline{suffix}_rtf_per_chip",
         "value": round(rtf, 2),

@@ -73,6 +73,16 @@ class BaseTTS(ABC):
     #: one-segment-at-a-time loop (``base_tts.py:753-898``).
     supports_batch_generation = False
 
+    #: Providers backed by a continuous-batching serving engine set this
+    #: True (instance attribute) and implement ``_serving_submit``: the
+    #: pipeline then submits every segment as a serving request and
+    #: validates each as it retires — a failed segment REJOINS the running
+    #: slot batch immediately instead of waiting for the iteration barrier
+    #: of the lockstep batched path, so one rejection no longer costs a
+    #: whole extra batch round (the reference's hot loop,
+    #: ``base_tts.py:770-898``, priced without the barrier).
+    supports_serving_generation = False
+
     def __init__(
         self,
         device: str = "tpu",
@@ -731,6 +741,256 @@ class BaseTTS(ABC):
 
         return best, best_drift, best_sim
 
+    # -- Serving-backed segment generation --------------------------------------
+
+    def _serving_submit(self, text: str):
+        """Submit one segment to the provider's continuous-batching serving
+        engine; returns a :class:`rho_tts_tpu.serving.ServeRequest`-like
+        future (``add_done_callback`` / ``wav`` / ``error`` / ``cancel``).
+        Providers that set ``supports_serving_generation`` implement this."""
+        raise NotImplementedError
+
+    def _generate_segments_served(
+        self,
+        segments: List[str],
+        token: CancellationToken,
+        progress_callback: Optional[Callable[[str], None]] = None,
+    ):
+        """Generate + validate segments through the serving engine.
+
+        Same contract and gate semantics as
+        :meth:`_generate_segments_batched` (drift gate with best-by-drift
+        tracking, speculative STT overlap, auto-sort, max_iterations cap,
+        best/last fallback — reference ``base_tts.py:770-898``), but with
+        no iteration barrier: every segment is a serving request, decode
+        runs continuously on the serving thread, and each segment is
+        validated as it retires. A failed segment resubmits immediately
+        and joins the in-flight slot batch, so a single rejection costs
+        one extra *segment*, not one extra lockstep batch round.
+
+        Retry randomness comes from the serving engine's on-device RNG
+        stream (each admission consumes fresh draws), so retries are
+        naturally re-seeded; like the lockstep path's wall-clock reseeds,
+        exact sampling is not reproducible across runs unless ``top_k=1``.
+        """
+        import queue as _q
+
+        n = len(segments)
+        best: List = [None] * n
+        final: List[bool] = [False] * n
+        best_drift = [float("inf")] * n
+        best_sim: List[Optional[float]] = [None] * n
+        last: List = [None] * n
+        tries = [0] * n
+
+        self._set_seeds()
+        done_q: "_q.Queue[int]" = _q.Queue()
+        inflight: Dict[int, object] = {}
+
+        def submit(i: int) -> None:
+            tries[i] += 1
+            req = self._serving_submit(segments[i])
+            inflight[i] = req
+            req.add_done_callback(lambda _r, i=i: done_q.put(i))
+
+        def cancel_inflight() -> None:
+            for req in inflight.values():
+                try:
+                    req.cancel()
+                except Exception:  # noqa: BLE001
+                    pass
+
+        if progress_callback:
+            progress_callback(f"Generating {n} segment(s) (serving)...")
+        try:
+            self._served_loop(
+                segments, token, progress_callback, done_q, inflight, submit,
+                best, final, best_drift, best_sim, last, tries,
+            )
+        except BaseException:
+            cancel_inflight()
+            raise
+
+        # Segments that never produced audio keep best=None; segments that
+        # exhausted retries already carry best-by-drift (else last audio).
+        for i in range(n):
+            if final[i] or best[i] is not None:
+                continue
+            if last[i] is not None:
+                best[i] = last[i]
+        return best, best_drift, best_sim
+
+    def _served_loop(
+        self, segments, token, progress_callback, done_q, inflight, submit,
+        best, final, best_drift, best_sim, last, tries,
+    ):
+        """Completion-driven retry loop of :meth:`_generate_segments_served`."""
+        import queue as _q
+
+        n = len(segments)
+        for i in range(n):
+            submit(i)
+
+        validate = self.max_iterations > 1
+        auto_sort = bool(
+            getattr(self, "auto_sort_good_dir", None)
+            or getattr(self, "auto_sort_bad_dir", None)
+        )
+
+        while inflight:
+            if token.is_cancelled():
+                raise CancelledException("Cancelled during served generation")
+            try:
+                ready = [done_q.get(timeout=0.2)]
+            except _q.Empty:
+                continue
+            # Coalesce the rest of this retire burst into one validation
+            # batch (retirements arrive grouped at chunk boundaries).
+            deadline = time.time() + 0.01
+            while True:
+                try:
+                    ready.append(done_q.get(timeout=max(deadline - time.time(), 0)))
+                except _q.Empty:
+                    break
+            if token.is_cancelled():
+                raise CancelledException("Cancelled during served generation")
+
+            group: List[int] = []  # segments with fresh audio to validate
+            for i in ready:
+                req = inflight.pop(i)
+                err = getattr(req, "error", None)
+                if err is not None:
+                    if isinstance(err, ValueError):
+                        raise err  # config error — don't retry
+                    logger.warning(f"    Segment {i + 1}: generation error ({err})")
+                    if tries[i] < self.max_iterations:
+                        submit(i)
+                    continue
+                audio = req.wav
+                if audio is None or getattr(req, "cancelled", False):
+                    logger.warning(f"    Segment {i + 1}: no audio from serving")
+                    if tries[i] < self.max_iterations:
+                        submit(i)
+                    continue
+                last[i] = audio
+                if not validate:
+                    best[i] = audio
+                    final[i] = True
+                    if auto_sort:
+                        try:
+                            drift_prob, _ = self._validate_accent_drift(
+                                audio, self.sample_rate
+                            )
+                            self._auto_sort_audio(audio, drift_prob)
+                        except Exception as e:  # noqa: BLE001
+                            logger.warning(f"    Auto-sort drift check failed ({e})")
+                    continue
+                group.append(i)
+            if not group:
+                continue
+
+            if progress_callback:
+                done_ct = sum(final) + sum(
+                    1 for i in range(n) if best[i] is not None and not final[i]
+                )
+                progress_callback(
+                    f"Validating {len(group)} segment(s) "
+                    f"({done_ct}/{n} settled)..."
+                )
+
+            # Speculative STT overlap (same as the lockstep path): dispatch
+            # transcription on the worker thread while drift validation
+            # runs; discard results for drift-failing segments.
+            pool = getattr(self, "_stt_pool", None)
+            if pool is None:
+                import concurrent.futures
+
+                pool = concurrent.futures.ThreadPoolExecutor(
+                    1, thread_name_prefix="stt-validate"
+                )
+                self._stt_pool = pool
+
+            def _run_stt(
+                auds=[last[i] for i in group],
+                txts=[segments[i] for i in group],
+            ):
+                with profiling.stage("validate/stt"):
+                    return self._validate_text_match_batch(auds, self.sample_rate, txts)
+
+            stt_future = pool.submit(_run_stt)
+
+            drift_results = None
+            try:
+                with profiling.stage("validate/drift"):
+                    drift_results = self._validate_accent_drift_batch(
+                        [last[i] for i in group], self.sample_rate
+                    )
+            except Exception as e:  # noqa: BLE001
+                logger.warning(f"    Batched drift validation error ({e})")
+
+            voice_ok_idx: List[int] = []
+            failed: List[int] = []
+            for pos, i in enumerate(group):
+                audio = last[i]
+                try:
+                    if drift_results is not None:
+                        drift_prob, is_voice_ok = drift_results[pos]
+                    else:
+                        drift_prob, is_voice_ok = self._validate_accent_drift(
+                            audio, self.sample_rate
+                        )
+                    self._auto_sort_audio(audio, drift_prob)
+                    if drift_prob < best_drift[i]:
+                        best_drift[i] = drift_prob
+                        best[i] = audio
+                    if is_voice_ok:
+                        voice_ok_idx.append(i)
+                    else:
+                        logger.warning(
+                            f"    Segment {i + 1} invalid: drift={drift_prob:.3f}"
+                        )
+                        failed.append(i)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Segment {i + 1}: validation error ({e})")
+                    failed.append(i)
+
+            if not voice_ok_idx:
+                stt_future.cancel()  # drops it only if still queued; see
+                # the lockstep path for why a running one is harmless
+            else:
+                try:
+                    stt_map = dict(zip(group, stt_future.result()))
+                    stt_results = [stt_map[i] for i in voice_ok_idx]
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"    Batched STT validation error ({e})")
+                    stt_results = [(True, 1.0, None)] * len(voice_ok_idx)
+                for i, (is_text_ok, text_sim, transcribed) in zip(
+                    voice_ok_idx, stt_results
+                ):
+                    best_sim[i] = text_sim
+                    if is_text_ok:
+                        best[i] = last[i]
+                        final[i] = True
+                    else:
+                        if transcribed:
+                            try:
+                                self._log_text_diff(segments[i], transcribed)
+                            except Exception:  # noqa: BLE001
+                                pass
+                        logger.warning(
+                            f"    Segment {i + 1} invalid: text={text_sim:.3f}"
+                        )
+                        failed.append(i)
+
+            for i in failed:
+                if tries[i] < self.max_iterations:
+                    submit(i)
+                else:
+                    logger.warning(
+                        f"    Segment {i + 1}: max iterations reached, "
+                        f"returning best available audio"
+                    )
+
     # -- Item finalization (join + post-process + decay check) -----------------
 
     def _finalize_items(self, items: List[List]):
@@ -870,9 +1130,12 @@ class BaseTTS(ABC):
                 flat.extend(items_segments[i])
                 spans.append((i, len(items_segments[i])))
 
-            audios, pos_drift, pos_sim = self._generate_segments_batched(
-                flat, token, progress_callback
+            gen_segments = (
+                self._generate_segments_served
+                if self.supports_serving_generation
+                else self._generate_segments_batched
             )
+            audios, pos_drift, pos_sim = gen_segments(flat, token, progress_callback)
 
             pos = 0
             next_active = []

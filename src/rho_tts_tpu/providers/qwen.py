@@ -62,6 +62,13 @@ class QwenTTS(BaseTTS):
             the draft proposes ``speculative_gamma`` codec tokens per
             round and the target verifies them in one forward pass.
         speculative_gamma: Draft tokens proposed per verification round.
+        serving: Route pipeline segment generation through a
+            continuous-batching ServingEngine — retried segments rejoin
+            the running slot batch immediately instead of waiting for the
+            lockstep iteration barrier.
+        serving_slots: Slot-batch size of that engine (default 8).
+        serving_max_prompt: Engine prompt-token cap (default 512).
+        serving_max_frames: Engine per-request frame cap (default 1024).
     """
 
     MAX_MODEL_CHARS = 4000
@@ -99,6 +106,10 @@ class QwenTTS(BaseTTS):
         speculative_gamma: int = 4,
         speculative_residual_mode: str = "draft",
         lora_path: Optional[str] = None,
+        serving: bool = False,
+        serving_slots: int = 8,
+        serving_max_prompt: int = 512,
+        serving_max_frames: int = 1024,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -136,6 +147,19 @@ class QwenTTS(BaseTTS):
         #: before quantization
         self.lora_path = lora_path
         self._draft_model = None
+
+        #: Continuous-batching pipeline mode: segments are submitted to a
+        #: ServingEngine slot batch and validated as they retire, so a
+        #: validation failure rejoins the running batch instead of waiting
+        #: for the lockstep iteration barrier (engine
+        #: ``_generate_segments_served``). Retry sampling draws from the
+        #: engine's on-device RNG stream — not bit-reproducible run-to-run
+        #: (neither are the lockstep path's wall-clock reseeded retries).
+        self.supports_serving_generation = bool(serving)
+        self.serving_slots = serving_slots
+        self.serving_max_prompt = serving_max_prompt
+        self.serving_max_frames = serving_max_frames
+        self._serving = None
 
         self._max_chars_explicit = max_chars_per_segment is not None
         self.max_chars_per_segment = (
@@ -307,6 +331,52 @@ class QwenTTS(BaseTTS):
         )
         return waves[0] if is_single else waves
 
+    def _serving_engine(self):
+        """Lazily build + start the continuous-batching serving engine."""
+        if self._serving is None:
+            from ..serving import ServingEngine
+
+            model = self._load_model()
+            self._serving = ServingEngine(
+                model,
+                n_slots=self.serving_slots,
+                max_prompt=self.serving_max_prompt,
+                max_frames=self.serving_max_frames,
+                seed=self.seed,
+            )
+            self._serving.start()
+        return self._serving
+
+    def _serving_submit(self, text: str):
+        """Submit one pipeline segment to the serving engine.
+
+        Routing parity with :meth:`_generate_audio`: CustomVoice paths
+        require a named speaker, Base paths reference audio.
+        """
+        model = self._load_model()
+        is_custom_voice = self._is_custom_voice()
+        if is_custom_voice and not self.speaker:
+            raise ValueError(
+                "CustomVoice model requires a named speaker. Select a built-in "
+                "voice (e.g. Vivian, Ryan) or provide reference audio with a "
+                "Base model for voice cloning."
+            )
+        if not is_custom_voice and not self.voice_cloning:
+            raise ValueError(
+                "Qwen Base model requires reference audio for voice cloning. "
+                "Use a CustomVoice model with a named speaker, or provide "
+                "reference audio."
+            )
+        min_frames = int(self.min_audio_sec * model.config.codec.frame_rate)
+        return self._serving_engine().submit(
+            text,
+            speaker=self.speaker if is_custom_voice else None,
+            language=self.language,
+            ref_audio=self.reference_audio_path if not is_custom_voice else None,
+            ref_text=self.reference_text if not is_custom_voice else None,
+            min_frames=min_frames,
+        )
+
     def _post_process_audio(self, audio):
         """Decay-corrected loudness normalization + soft clip (on device).
 
@@ -366,6 +436,12 @@ class QwenTTS(BaseTTS):
     def close(self) -> None:
         """Release model parameters (device HBM)."""
         super().close()
+        if self._serving is not None:
+            try:
+                self._serving.close()
+            except Exception:  # noqa: BLE001
+                logger.exception("serving engine close failed")
+            self._serving = None
         self._model = None
         self._draft_model = None
         self._free_device_memory()

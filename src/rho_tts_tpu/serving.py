@@ -78,6 +78,10 @@ logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
+# One lock for all requests' done-callback registration (registration is
+# rare: once per request per listener — contention is not a concern).
+_CB_LOCK = threading.Lock()
+
 # Attribution mode: sync after every device dispatch so the per-stage
 # wall-clock summary charges device time to the stage that spent it
 # (normally dispatches are async and device time hides inside the next
@@ -370,6 +374,7 @@ class ServeRequest:
 
         self._event = threading.Event()
         self._cancelled = threading.Event()
+        self._done_cbs: List[Any] = []
         self._chunk_q = _queue.Queue() if stream else None
         self.wav: Optional[jnp.ndarray] = None  # device array until fetched
         self._codes_np: Optional[np.ndarray] = None  # trimmed (n_frames, nq)
@@ -439,9 +444,29 @@ class ServeRequest:
             raise RuntimeError("request was cancelled")
         return np.asarray(self.wav), int(self.sample_rate)
 
+    def add_done_callback(self, fn) -> None:
+        """Call ``fn(self)`` when the request resolves (success, error, or
+        cancellation). Fires immediately if already resolved. Callbacks run
+        on the serving thread — keep them cheap (e.g. a queue put)."""
+        fire = False
+        with _CB_LOCK:
+            if self._event.is_set():
+                fire = True
+            else:
+                self._done_cbs.append(fn)
+        if fire:
+            fn(self)
+
     def _resolve(self) -> None:
         self.t_done = time.time()
-        self._event.set()
+        with _CB_LOCK:
+            cbs, self._done_cbs = self._done_cbs, []
+            self._event.set()
+        for fn in cbs:
+            try:
+                fn(self)
+            except Exception:  # noqa: BLE001 — callbacks must not kill serving
+                logger.exception("ServeRequest done-callback failed")
 
 
 class _Slot:
@@ -572,6 +597,7 @@ class ServingEngine:
         self._wake = threading.Condition(self._lock)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._loop_error: Optional[BaseException] = None
         # Lagged harvest: (done_dev bitmap, row→request snapshot)
         self._pending: Optional[Tuple[Any, List[Optional[ServeRequest]]]] = None
 
@@ -628,6 +654,10 @@ class ServingEngine:
             expires_s=expires_s,
         )
         with self._wake:
+            if self._loop_error is not None:
+                raise RuntimeError(
+                    f"serving engine is down: {self._loop_error!r}"
+                ) from self._loop_error
             if self.max_queue is not None and len(self._queue) >= self.max_queue:
                 raise RuntimeError(
                     f"serving queue full ({self.max_queue}); apply backpressure"
@@ -998,12 +1028,21 @@ class ServingEngine:
         self._stop.clear()
 
         def loop():
-            while not self._stop.is_set():
-                busy = self.step()
-                if not busy:
-                    with self._wake:
-                        if not self._queue and not self._stop.is_set():
-                            self._wake.wait(timeout=0.05)
+            try:
+                while not self._stop.is_set():
+                    busy = self.step()
+                    if not busy:
+                        with self._wake:
+                            if not self._queue and not self._stop.is_set():
+                                self._wake.wait(timeout=0.05)
+            except BaseException as e:  # noqa: BLE001
+                # A dead serving thread must not strand waiters: fail every
+                # queued and in-flight request with the error, then release
+                # the ring (close() resolves them with this stored error).
+                logger.exception("serving loop failed; failing outstanding work")
+                self._loop_error = e
+                self._stop.set()
+                self._fail_outstanding(RuntimeError(f"serving loop failed: {e!r}"))
 
         self._thread = threading.Thread(target=loop, daemon=True, name="tts-serving")
         self._thread.start()
@@ -1023,6 +1062,12 @@ class ServingEngine:
         (their waiters unblock) and the KV ring is released.
         """
         self.stop()
+        self._fail_outstanding(RuntimeError("serving engine closed"))
+        self._cache_k = self._cache_v = self._key_valid = None
+        self._codes_buf = None
+
+    def _fail_outstanding(self, error: BaseException) -> None:
+        """Resolve every queued and in-flight request with ``error``."""
         with self._lock:
             abandoned = list(self._queue)
             self._queue.clear()
@@ -1034,13 +1079,11 @@ class ServingEngine:
         self._active[:] = False
         for req in abandoned:
             if not req.done():
-                req.error = RuntimeError("serving engine closed")
+                req.error = error
                 if req._chunk_q is not None:
                     req._chunk_q.put(None)
                 req._resolve()
         self._pending = None
-        self._cache_k = self._cache_v = self._key_valid = None
-        self._codes_buf = None
 
     # -- stats ---------------------------------------------------------------
 
