@@ -413,30 +413,41 @@ def _build_app(multi_user: bool = False):
                 sv_lora = gr.Textbox(
                     label="LoRA adapter path (per-voice adaptation; empty = off)"
                 )
+                sv_serving = gr.Checkbox(
+                    label="Continuous batching (segments share a serving "
+                    "slot batch; retries rejoin immediately)",
+                    value=False,
+                )
                 sv_save_btn = gr.Button("Save serving config", variant="primary")
                 sv_status = gr.Markdown("")
 
             def do_load_serving(ctx, model_id):
                 d = cb.model_serving_details(ctx.state, model_id)
                 if not d:
-                    return gr.update(), gr.update(), gr.update(), gr.update(), "❌ Model not found."
+                    return (
+                        gr.update(), gr.update(), gr.update(), gr.update(),
+                        gr.update(), gr.update(), "❌ Model not found.",
+                    )
                 return (
                     d["quantization"], d["parallelism"], d["draft_model_path"],
-                    d["speculative_gamma"], d["lora_path"], "",
+                    d["speculative_gamma"], d["lora_path"], d["serving"], "",
                 )
 
-            def do_save_serving(ctx, model_id, quant, parallel, draft, gamma, lora):
+            def do_save_serving(ctx, model_id, quant, parallel, draft, gamma, lora, serving):
                 return cb.set_model_serving(
-                    ctx.state, model_id, quant, parallel, draft, int(gamma), lora
+                    ctx.state, model_id, quant, parallel, draft, int(gamma),
+                    lora, bool(serving),
                 )
 
             sv_load_btn.click(
                 do_load_serving, [session, sv_id],
-                [sv_quant, sv_parallel, sv_draft, sv_gamma, sv_lora, sv_status],
+                [sv_quant, sv_parallel, sv_draft, sv_gamma, sv_lora,
+                 sv_serving, sv_status],
             )
             sv_save_btn.click(
                 do_save_serving,
-                [session, sv_id, sv_quant, sv_parallel, sv_draft, sv_gamma, sv_lora],
+                [session, sv_id, sv_quant, sv_parallel, sv_draft, sv_gamma,
+                 sv_lora, sv_serving],
                 [sv_status],
             )
 

@@ -385,6 +385,7 @@ def model_serving_details(state: AppState, model_id: str) -> Optional[Dict]:
         "draft_model_path": p.get("draft_model_path") or "",
         "speculative_gamma": int(p.get("speculative_gamma", 4)),
         "lora_path": p.get("lora_path") or "",
+        "serving": bool(p.get("serving", False)),
     }
 
 
@@ -396,6 +397,7 @@ def set_model_serving(
     draft_model_path: str = "",
     speculative_gamma: int = 4,
     lora_path: str = "",
+    serving: bool = False,
 ) -> str:
     """Persist per-model TPU serving knobs (quantization / DP-TP / draft).
 
@@ -419,6 +421,7 @@ def set_model_serving(
     p["draft_model_path"] = (draft_model_path or "").strip()
     p["speculative_gamma"] = int(speculative_gamma)
     p["lora_path"] = (lora_path or "").strip()
+    p["serving"] = bool(serving)
     m.default_params = p
     state.save()
     state.invalidate_tts()

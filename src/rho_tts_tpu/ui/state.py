@@ -27,7 +27,7 @@ _QWEN_ONLY_PARAMS = {
     "speaker", "language", "batch_size", "sound_decay_threshold",
     # TPU serving knobs (quantization is shared with chatterbox)
     "parallelism", "n_devices", "draft_model_path", "speculative_gamma",
-    "lora_path",
+    "lora_path", "serving",
 }
 
 

@@ -354,9 +354,10 @@ class TestModelServingConfig:
         # Load-then-Save must not silently quantize.
         assert d == {"quantization": "bf16", "parallelism": "none",
                      "draft_model_path": "", "speculative_gamma": 4,
-                     "lora_path": ""}
+                     "lora_path": "", "serving": False}
         msg = cb.set_model_serving(
-            state, m.id, "int4", "tensor", "tiny-draft", 6, "/voices/aria-lora"
+            state, m.id, "int4", "tensor", "tiny-draft", 6, "/voices/aria-lora",
+            serving=True,
         )
         assert msg.startswith("✅")
         d = cb.model_serving_details(state, m.id)
@@ -365,6 +366,7 @@ class TestModelServingConfig:
         assert d["draft_model_path"] == "tiny-draft"
         assert d["speculative_gamma"] == 6
         assert d["lora_path"] == "/voices/aria-lora"
+        assert d["serving"] is True
 
     def test_rejects_bad_values(self, tmp_path, monkeypatch):
         state, m = self._state(tmp_path, monkeypatch)
