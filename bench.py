@@ -268,7 +268,17 @@ def bench_pipeline():
     # Random-weight vocoder output is quieter than the -50 dB trim gate;
     # disable trimming so the bench measures real audio durations.
     tts.trim_silence = False
-    texts = ["This is a benchmark sentence for the full pipeline. " * 3] * 5
+    if os.environ.get("BENCH_RAGGED", "0") == "1":
+        # Long-form ragged workload: 20 single-segment items with lengths
+        # cycling 100-400 chars (so decode budgets cycle ~150-450 frames).
+        # This is the shape continuous batching exists for — the lockstep
+        # path barriers every batch of `batch_size` on its longest row,
+        # while the served path keeps the slot batch full.
+        base = "This is a benchmark sentence for the full pipeline. "
+        lengths = [100, 400, 150, 350, 200, 300, 250, 380, 120, 270] * 2
+        texts = [(base * 10)[:n].rsplit(" ", 1)[0] + "." for n in lengths]
+    else:
+        texts = ["This is a benchmark sentence for the full pipeline. " * 3] * 5
     from rho_tts_tpu.utils import profiling
 
     tts.generate(texts)  # warmup/compile at the measured batch shapes
@@ -296,6 +306,8 @@ def bench_pipeline():
     suffix = "_full_validation" if full else ""
     if reject_rate > 0:
         suffix += f"_reject{int(reject_rate * 100)}"
+    if os.environ.get("BENCH_RAGGED", "0") == "1":
+        suffix += "_ragged"
     if served:
         suffix += "_served"
     print(json.dumps({

@@ -73,6 +73,16 @@ class BaseTTS(ABC):
     #: one-segment-at-a-time loop (``base_tts.py:753-898``).
     supports_batch_generation = False
 
+    #: Providers whose model can decode k independent samples of one text
+    #: in a single batched call (e.g. Chatterbox's CFG batch of 2k rows)
+    #: set this > 1 (instance attribute) and implement
+    #: ``_generate_audio_candidates``: the sequential retry loop then
+    #: generates k candidates per round and accepts the first that passes
+    #: validation — at small batch the decode step is weight-read-bound,
+    #: so k retry iterations cost roughly one (reference hot loop
+    #: ``base_tts.py:770-898`` with chatterbox max_iterations=50).
+    candidates_per_iteration = 1
+
     #: Providers backed by a continuous-batching serving engine set this
     #: True (instance attribute) and implement ``_serving_submit``: the
     #: pipeline then submits every segment as a serving request and
@@ -991,6 +1001,139 @@ class BaseTTS(ABC):
                         f"returning best available audio"
                     )
 
+    # -- Candidate-batched retry loop -------------------------------------------
+
+    def _generate_audio_candidates(self, text: str, k: int) -> List:
+        """Generate ``k`` independent samples of one segment in a single
+        batched model call. Providers that set ``candidates_per_iteration``
+        > 1 implement this (e.g. Chatterbox's 2k-row CFG batch)."""
+        raise NotImplementedError
+
+    def _retry_segment_candidates(
+        self, segment: str, token: CancellationToken, seg_idx: int
+    ):
+        """Validation retry loop, k candidates per round.
+
+        Gate semantics match the one-generation-per-iteration loop
+        (reference ``base_tts.py:770-898``): drift gate with best-by-drift
+        tracking, STT gate, auto-sort per attempt, best/last-audio
+        fallback. Each round consumes ``k`` of ``max_iterations`` —
+        ``max_iterations`` still bounds total sampled attempts — but the
+        k attempts share one decode batch and ONE batched drift / STT
+        program, so a round costs about one iteration's wall. Candidates
+        are ordered (row 0 first); the first passing both gates wins,
+        keeping acceptance independent of validation batching.
+
+        Returns (best_audio, best_drift, best_text_sim).
+        """
+        best_audio = None
+        best_drift = float("inf")
+        best_text_sim = None
+        last_audio = None
+
+        attempts = 0
+        round_no = 0
+        while attempts < self.max_iterations:
+            if token.is_cancelled():
+                raise CancelledException(
+                    f"Cancelled during candidate round {round_no + 1} of "
+                    f"segment {seg_idx + 1}"
+                )
+            if round_no > 0:
+                self.seed = int(time.time() * 1000) % 100000
+                self._set_seeds()
+            round_no += 1
+            k = min(self.candidates_per_iteration, self.max_iterations - attempts)
+            attempts += k
+            logger.info(
+                f"    Candidate round {round_no}: {k} sample(s), seed {self.seed} "
+                f"({attempts}/{self.max_iterations} attempts)"
+            )
+
+            try:
+                with profiling.stage("generate/candidates"):
+                    cands = self._generate_audio_candidates(segment, k)
+            except ValueError:
+                raise  # config error — don't retry
+            except RuntimeError as e:
+                msg = str(e).lower()
+                if any(m in msg for m in _OOM_MARKERS):
+                    logger.error(f"    Segment {seg_idx + 1} OOM: {e}")
+                    self._free_device_memory()
+                    continue
+                raise
+            except Exception as e:  # noqa: BLE001
+                logger.warning(f"    Segment {seg_idx + 1}: generation error ({e})")
+                continue
+            if not cands:
+                continue
+            last_audio = cands[-1]
+
+            try:
+                with profiling.stage("validate/drift"):
+                    drift_results = self._validate_accent_drift_batch(
+                        cands, self.sample_rate
+                    )
+            except Exception as e:  # noqa: BLE001
+                logger.warning(f"    Segment {seg_idx + 1}: validation error ({e})")
+                continue
+
+            passing: List[int] = []
+            for pos, (drift_prob, is_voice_ok) in enumerate(drift_results):
+                self._auto_sort_audio(cands[pos], drift_prob)
+                if drift_prob < best_drift:
+                    best_drift = drift_prob
+                    best_audio = cands[pos]
+                if is_voice_ok:
+                    passing.append(pos)
+            if not passing:
+                logger.warning(
+                    f"    Segment {seg_idx + 1}: no candidate passed drift "
+                    f"(best {best_drift:.3f}), retrying"
+                )
+                continue
+
+            try:
+                with profiling.stage("validate/stt"):
+                    stt_results = self._validate_text_match_batch(
+                        [cands[i] for i in passing],
+                        self.sample_rate,
+                        [segment] * len(passing),
+                    )
+            except Exception as e:  # noqa: BLE001
+                logger.warning(f"    Batched STT validation error ({e})")
+                stt_results = [(True, 1.0, None)] * len(passing)
+
+            for pos, (is_text_ok, text_sim, transcribed) in zip(passing, stt_results):
+                best_text_sim = text_sim
+                if is_text_ok:
+                    logger.info(
+                        f"    Segment {seg_idx + 1} valid: candidate {pos + 1} of "
+                        f"round {round_no} ({attempts} attempt(s) consumed)"
+                    )
+                    return cands[pos], best_drift, text_sim
+                if transcribed:
+                    try:
+                        self._log_text_diff(segment, transcribed)
+                    except Exception:  # noqa: BLE001
+                        pass
+            logger.warning(
+                f"    Segment {seg_idx + 1}: no candidate passed STT, retrying"
+            )
+
+        if best_audio is not None:
+            logger.warning(
+                f"    Segment {seg_idx + 1}: max iterations reached, "
+                f"returning best (drift={best_drift:.3f})"
+            )
+        elif last_audio is not None:
+            best_audio = last_audio
+            logger.warning(
+                f"    Segment {seg_idx + 1}: max iterations reached, "
+                f"returning last audio"
+            )
+        return best_audio, best_drift, best_text_sim
+
     # -- Item finalization (join + post-process + decay check) -----------------
 
     def _finalize_items(self, items: List[List]):
@@ -1279,6 +1422,20 @@ class BaseTTS(ABC):
                     best_drift = float("inf")
                     best_text_sim = None
                     last_audio = None
+
+                    if self.candidates_per_iteration > 1 and self.max_iterations > 1:
+                        best_audio, best_drift, best_text_sim = (
+                            self._retry_segment_candidates(segment, token, seg_idx)
+                        )
+                        if best_audio is not None:
+                            audio_segments.append(best_audio)
+                            if best_drift != float("inf"):
+                                item_drift_scores.append(best_drift)
+                            if best_text_sim is not None:
+                                item_text_sim_scores.append(best_text_sim)
+                        else:
+                            logger.error(f"  Segment {seg_idx + 1} failed to generate")
+                        continue
 
                     for iteration in range(self.max_iterations):
                         if token.is_cancelled():

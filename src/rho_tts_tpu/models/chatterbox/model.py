@@ -384,14 +384,23 @@ class ChatterboxModel:
         max_cache_len: Optional[int],
         min_new_tokens: int,
         rng,
+        candidates: int = 1,
     ):
         """Prompt assembly + prefill + first sampled token.
 
         Shared by :meth:`generate` (device-resident token history, lagged
         early exit) and :meth:`stream_chunks` (per-chunk fetch + sliding
         vocode); returns the decode-loop carry as a dict.
+
+        ``candidates > 1`` replicates the prompt into k conditional + k
+        unconditional rows: one CFG batch decodes k independent samples of
+        the same text (per-row RNG draws differ), the TPU-native way to
+        run the provider's validation retry loop — k retry iterations for
+        roughly the cost of one at these batch sizes (the decode step is
+        weight-read-bound).
         """
         cfg = self.cfg
+        k = int(candidates)
 
         spk = None
         if audio_prompt_path is not None:
@@ -405,18 +414,19 @@ class ChatterboxModel:
         # Left-padded prompt rows, described by host-built masks so the
         # embedding assembly runs inside the prefill program:
         #   cond   = [pad…, spk?, text…, BOS]   uncond = [pad…, spk?, BOS]
-        lens = [nt + 1 + int(has_spk), 1 + int(has_spk)]
+        # Rows are [cond × k, uncond × k] (the _cfg_sample layout).
+        lens = [nt + 1 + int(has_spk)] * k + [1 + int(has_spk)] * k
         p = _round_up(max(lens), PROMPT_BUCKET)
-        ids_slotted = np.zeros((2, p), np.int32)
-        text_mask = np.zeros((2, p), np.float32)
-        bos_mask = np.zeros((2, p), np.float32)
-        spk_mask = np.zeros((2, p), np.float32)
-        ids_slotted[0, p - 1 - nt : p - 1] = ids
-        text_mask[0, p - 1 - nt : p - 1] = 1.0
+        ids_slotted = np.zeros((2 * k, p), np.int32)
+        text_mask = np.zeros((2 * k, p), np.float32)
+        bos_mask = np.zeros((2 * k, p), np.float32)
+        spk_mask = np.zeros((2 * k, p), np.float32)
+        ids_slotted[:k, p - 1 - nt : p - 1] = ids
+        text_mask[:k, p - 1 - nt : p - 1] = 1.0
         bos_mask[:, p - 1] = 1.0
         if has_spk:
-            spk_mask[0, p - 2 - nt] = 1.0
-            spk_mask[1, p - 2] = 1.0
+            spk_mask[:k, p - 2 - nt] = 1.0
+            spk_mask[k:, p - 2] = 1.0
         spk_vec = np.asarray(spk, np.float32) if has_spk else np.zeros(
             self.params["spk_proj"].shape[0], np.float32
         )
@@ -435,8 +445,8 @@ class ChatterboxModel:
             s = min(s, _round_up(max(cache_cap, p + CHUNK), CHUNK))
             n_chunks = max((s - p) // CHUNK, 1)
 
-        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 2, s)
-        key_valid = jnp.zeros((2, s), bool)
+        cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 2 * k, s)
+        key_valid = jnp.zeros((2 * k, s), bool)
 
         logits, cache_k, cache_v, key_valid = _prefill(
             self.params, cfg,
@@ -483,14 +493,36 @@ class ChatterboxModel:
             text, audio_prompt_path, temperature, cfg_weight,
             max_new_tokens, max_cache_len, min_new_tokens, rng,
         )
+        toks_dev, done_np = self._decode_all(
+            st, temperature, cfg_weight, min_new_tokens, cancel_check
+        )
+
+        # The tokens stay ON DEVICE: fetch only the done bitmap (one small
+        # transfer) to find the EOS cut, then vocode the device-resident
+        # history in place with tokens ≥ end masked to the pad value the
+        # old host path wrote (zero).
+        done_seq = done_np[0]
+        d = np.nonzero(done_seq)[0]
+        end = max(int(d[0]) if d.size else done_seq.shape[0], 1)
+
+        t_pad = _round_up(end, CHUNK)
+        wav = _vocode_masked(self.params, cfg, toks_dev[0], end, t_pad)
+        return apply_watermark(wav[0, : end * cfg.codec.hop])
+
+    def _decode_all(self, st, temperature, cfg_weight, min_new_tokens, cancel_check):
+        """Run the chunked decode loop to completion (device-resident).
+
+        Token/done chunks stay ON DEVICE. Early exit uses a LAGGED flag:
+        chunk k's all-done scalar is fetched while chunk k+1 computes, so
+        the host never stalls the device queue (worst case one surplus
+        chunk after EOS instead of a blocking relay round-trip per chunk).
+        Returns (toks_dev (B, T) device array, done_np (B, T) np bool).
+        """
+        cfg = self.cfg
         cache_k, cache_v, key_valid = st["cache_k"], st["cache_v"], st["key_valid"]
         tok0, done, rng = st["tok0"], st["done"], st["rng"]
         rope_base, p, n_chunks = st["rope_base"], st["p"], st["n_chunks"]
 
-        # Token/done chunks stay ON DEVICE. Early exit uses a LAGGED flag:
-        # chunk k's all-done scalar is fetched while chunk k+1 computes, so
-        # the host never stalls the device queue (worst case one surplus
-        # chunk after EOS instead of a blocking relay round-trip per chunk).
         all_toks = [tok0[:, None]]
         all_done = [done[:, None]]
         last_tok = tok0
@@ -517,18 +549,65 @@ class ChatterboxModel:
                 break
             prev_flag = jnp.all(done)
 
-        # The tokens stay ON DEVICE: fetch only the done bitmap (one small
-        # transfer) to find the EOS cut, then vocode the device-resident
-        # history in place with tokens ≥ end masked to the pad value the
-        # old host path wrote (zero).
-        toks_dev = jnp.concatenate(all_toks, axis=1)[0]
-        done_seq = np.asarray(jnp.concatenate(all_done, axis=1)[0])
-        d = np.nonzero(done_seq)[0]
-        end = max(int(d[0]) if d.size else done_seq.shape[0], 1)
+        toks_dev = jnp.concatenate(all_toks, axis=1)
+        done_np = np.asarray(jnp.concatenate(all_done, axis=1))
+        return toks_dev, done_np
 
-        t_pad = _round_up(end, CHUNK)
-        wav = _vocode_masked(self.params, cfg, toks_dev, end, t_pad)
-        return apply_watermark(wav[0, : end * cfg.codec.hop])
+    def generate_candidates(
+        self,
+        text: str,
+        candidates: int,
+        audio_prompt_path: Optional[str] = None,
+        temperature: float = 1.0,
+        cfg_weight: float = 0.6,
+        max_new_tokens: Optional[int] = None,
+        max_cache_len: Optional[int] = None,
+        min_new_tokens: int = 0,
+        rng=None,
+        cancel_check=None,
+    ):
+        """Synthesize ``candidates`` independent samples of one text in a
+        single CFG batch (2k rows); returns a list of 1-D waveforms.
+
+        The TPU-native form of the provider's validation retry loop
+        (reference iterates one generation per retry,
+        ``src/rho_tts/base_tts.py:770-898`` with chatterbox
+        ``max_iterations=50``): at these batch sizes the decode step is
+        weight-read-bound, so k candidates cost roughly one iteration's
+        wall — the validator then picks the first passing sample.
+        """
+        cfg = self.cfg
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k = int(candidates)
+
+        st = self._start_decode(
+            text, audio_prompt_path, temperature, cfg_weight,
+            max_new_tokens, max_cache_len, min_new_tokens, rng,
+            candidates=k,
+        )
+        toks_dev, done_np = self._decode_all(
+            st, temperature, cfg_weight, min_new_tokens, cancel_check
+        )
+
+        # Per-row EOS cut from the done bitmap; one bucketed vocode for
+        # all candidates (rows masked past their own end).
+        ends = []
+        for b in range(k):
+            d = np.nonzero(done_np[b])[0]
+            ends.append(max(int(d[0]) if d.size else done_np.shape[1], 1))
+        t_pad = _round_up(max(ends), CHUNK)
+        ends_arr = jnp.asarray(np.asarray(ends, np.int32))
+        full = toks_dev.shape[1]
+        toks = toks_dev[:, :t_pad]
+        if t_pad > full:
+            toks = jnp.pad(toks, ((0, 0), (0, t_pad - full)))
+        toks = jnp.where(
+            jnp.arange(t_pad, dtype=jnp.int32)[None, :] < ends_arr[:, None], toks, 0
+        )
+        wavs = _vocode(self.params, cfg, toks)
+        hop = cfg.codec.hop
+        return [apply_watermark(wavs[b, : ends[b] * hop]) for b in range(k)]
 
     def stream_chunks(
         self,

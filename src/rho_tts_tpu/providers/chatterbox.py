@@ -44,6 +44,13 @@ class ChatterboxTTS(BaseTTS):
         cfg_weight: Classifier-free guidance weight (default 0.6).
         model_path: Local T3 checkpoint (safetensors dir or t3_cfg.pt);
             random init when absent.
+        candidates_per_iteration: Validation retry candidates decoded per
+            round in ONE CFG batch (2k rows). The decode step is
+            weight-read-bound at these sizes, so k candidates cost about
+            one iteration's wall; the validator accepts the first passing
+            sample — collapsing the reference's one-generation-per-retry
+            chain (``base_tts.py:770-898``) by up to k×. Each round
+            consumes k of ``max_iterations``.
     """
 
     MAX_MODEL_CHARS = 3000
@@ -67,6 +74,7 @@ class ChatterboxTTS(BaseTTS):
         quantization: Optional[str] = None,
         model_path: Optional[str] = None,
         min_audio_sec: float = 0.0,
+        candidates_per_iteration: int = 1,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -90,6 +98,9 @@ class ChatterboxTTS(BaseTTS):
         self.temperature = temperature
         self.cfg_weight = cfg_weight
         self.min_audio_sec = min_audio_sec
+        if candidates_per_iteration < 1:
+            raise ValueError("candidates_per_iteration must be >= 1")
+        self.candidates_per_iteration = int(candidates_per_iteration)
 
         # The model loads eagerly: this provider's workflow is "many fast
         # regenerations of one segment", so the first generate() must not
@@ -142,6 +153,23 @@ class ChatterboxTTS(BaseTTS):
             audio_prompt_path=prompt_path,
             rng=self.next_rng(),
             **gen_kwargs,
+        )
+
+    def _generate_audio_candidates(self, text: str, k: int) -> List:
+        """k independent samples of one segment in a single CFG batch."""
+        prompt_path = self.reference_audio_path if self.voice_cloning else None
+        if prompt_path:
+            if prompt_path not in self._prompt_cache:
+                self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
+            self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
+
+        gen_kwargs = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
+        if self.min_audio_sec > 0:
+            gen_kwargs["min_new_tokens"] = int(
+                self.min_audio_sec * self.model.cfg.codec.frame_rate
+            )
+        return self.model.generate_candidates(
+            text, k, audio_prompt_path=None, rng=self.next_rng(), **gen_kwargs
         )
 
     def _stream_audio_chunks(self, text: str, cancellation_token=None):
