@@ -693,7 +693,16 @@ def bench_serve():
 
 
 def bench_chatterbox():
-    """Config 4: Chatterbox-class single-segment voice clone, full loop."""
+    """Config 4: Chatterbox-class single-segment voice clone, full loop.
+
+    BENCH_CB_FAILS=n forces the first n validation attempts of every
+    generate() to fail the drift gate — pricing the retry chain, the
+    provider's actual workload (reference max_iterations=50,
+    ``src/rho_tts/providers/chatterbox.py:53``). BENCH_CAND=k decodes k
+    retry candidates per round in one CFG batch
+    (``candidates_per_iteration``), the TPU-native form of that chain:
+    A/B k=1 vs k=4 at the same BENCH_CB_FAILS to measure the win.
+    """
     import numpy as np
 
     from rho_tts_tpu.audio_io import save_wav
@@ -701,18 +710,53 @@ def bench_chatterbox():
 
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
+    fails = int(os.environ.get("BENCH_CB_FAILS", "0"))
+    cand = int(os.environ.get("BENCH_CAND", "1"))
+    iters = int(os.environ.get("BENCH_CB_ITERS", str(fails + 2 if fails else 1)))
 
     ref = "/tmp/bench_ref.wav"
     t = np.arange(24000 * 3) / 24000
     save_wav(ref, (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32), 24000)
 
-    tts = ChatterboxTTS(
+    provider_cls = ChatterboxTTS
+    if fails > 0:
+
+        class FailingChatterboxTTS(ChatterboxTTS):
+            """First `fails` drift attempts of each generate() rejected."""
+
+            _seen = 0
+
+            def generate(self, *a, **kw):
+                self._seen = 0
+                return super().generate(*a, **kw)
+
+            def _inject(self, results):
+                out = []
+                for p, ok in results:
+                    out.append((0.99, False) if self._seen < fails else (p, ok))
+                    self._seen += 1
+                return out
+
+            def _validate_accent_drift(self, audio, sample_rate):
+                return self._inject(
+                    [super()._validate_accent_drift(audio, sample_rate)]
+                )[0]
+
+            def _validate_accent_drift_batch(self, audios, sample_rate):
+                return self._inject(
+                    super()._validate_accent_drift_batch(audios, sample_rate)
+                )
+
+        provider_cls = FailingChatterboxTTS
+
+    tts = provider_cls(
         implementation=os.environ.get("BENCH_CB_IMPL", "standard"),
         reference_audio=ref,
-        max_iterations=int(os.environ.get("BENCH_CB_ITERS", "1")),
+        max_iterations=iters,
         max_chars_per_segment=400,
         quantization=quant,
         min_audio_sec=7.0,  # random weights would otherwise EOS early
+        candidates_per_iteration=cand,
     )
     tts.trim_silence = False  # random-weight output sits under the trim gate
     text = "A single segment regenerated with the full validation loop enabled."
@@ -730,8 +774,13 @@ def bench_chatterbox():
     rtf, wall, result = rtfs[1]
     log(f"chatterbox: {result.duration_sec if result else 0:.1f} s audio in {wall:.1f} s → RTF {rtf:.1f}"
         f" (runs: {', '.join(f'{r:.1f}' for r, _, _ in rtfs)})")
+    suffix = ""
+    if fails > 0:
+        suffix += f"_fails{fails}"
+    if cand > 1:
+        suffix += f"_cand{cand}"
     print(json.dumps({
-        "metric": "chatterbox_single_segment_rtf_per_chip",
+        "metric": f"chatterbox_single_segment{suffix}_rtf_per_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
