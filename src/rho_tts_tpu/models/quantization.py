@@ -13,12 +13,46 @@ dense or quantized weights.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 QUANT_KEYS = ("wqkv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _w8a8_prefill_enabled() -> bool:
+    """Opt-in int8-activation prefill (``RHO_TTS_TPU_W8A8_PREFILL=1``).
+
+    Decode is HBM-bound on weight reads, so weight-only int8 is the right
+    default there — but prefill is MXU compute-bound (bf16 dots measured
+    ~54% of v5e bf16 peak), and the MXU runs int8×int8→int32 at twice the
+    bf16 rate. With per-token symmetric activation quantization the
+    matmuls run as native int8 dots; applied only when the sequence axis
+    is > 1 so decode numerics are untouched. Read at trace time (the flag
+    selects which program is compiled).
+    """
+    return os.environ.get("RHO_TTS_TPU_W8A8_PREFILL", "0") == "1"
+
+
+def _w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """x @ (q*s) as a native int8 MXU dot with per-token activation scales.
+
+    x (…, T, in) is quantized per row (symmetric absmax → int8), the dot
+    accumulates in int32 on the MXU, and the result is rescaled by
+    (row_scale × per-output-channel weight scale) in f32.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # (…, T, 1)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * sx * s).astype(x.dtype)
 
 
 def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -67,6 +101,8 @@ def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
             from ..ops.pallas.int4_matmul import int4_matmul
 
             return int4_matmul(x, w["q4"], w["s"])
+        if x.ndim >= 2 and x.shape[-2] > 1 and _w8a8_prefill_enabled():
+            return _w8a8_matmul(x, w["q"], w["s"])
         y = x @ w["q"].astype(x.dtype)
         return (y.astype(jnp.float32) * w["s"]).astype(x.dtype)
     return x @ w

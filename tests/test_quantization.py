@@ -62,6 +62,60 @@ def test_quantized_forward_close_to_dense():
 
 
 # ---------------------------------------------------------------------------
+# w8a8 prefill (int8 activations × int8 weights on the MXU, opt-in)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_matmul_close_to_weight_only():
+    from rho_tts_tpu.models.quantization import _w8a8_matmul
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64), jnp.float32) * 0.3
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 32), jnp.float32) * 0.1
+    qw = quantize_weight(w)
+    wo = np.asarray(matmul(x, qw))  # weight-only path (flag off)
+    a8 = np.asarray(_w8a8_matmul(x, qw["q"], qw["s"]))
+    assert a8.dtype == x.dtype
+    # per-token int8 activations add <1% on top of the int8 weight noise
+    np.testing.assert_allclose(a8, wo, atol=0.02 * np.abs(wo).max() + 1e-4)
+
+
+def test_w8a8_flag_gates_prefill_only(monkeypatch):
+    """Flag on: T>1 goes through the int8 dot; T==1 (decode) stays dense."""
+    from rho_tts_tpu.models import quantization as qz
+
+    monkeypatch.setenv("RHO_TTS_TPU_W8A8_PREFILL", "1")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64), jnp.float32) * 0.3
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 32), jnp.float32) * 0.1
+    qw = quantize_weight(w)
+    on = np.asarray(matmul(x, qw))
+    expected = np.asarray(qz._w8a8_matmul(x, qw["q"], qw["s"]))
+    np.testing.assert_array_equal(on, expected)
+
+    x1 = x[:, :1]  # decode step: weight-only path regardless of the flag
+    on1 = np.asarray(matmul(x1, qw))
+    monkeypatch.delenv("RHO_TTS_TPU_W8A8_PREFILL")
+    off1 = np.asarray(matmul(x1, qw))
+    np.testing.assert_array_equal(on1, off1)
+
+
+def test_w8a8_stack_forward_tracks_weight_only(monkeypatch):
+    cfg = tfm.TransformerConfig(
+        hidden=64, layers=2, q_heads=4, kv_heads=2, head_dim=16, ffn=128, dtype=jnp.float32
+    )
+    params = tfm.init_stack(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_stack(params)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 64), jnp.float32) * 0.3
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    wo, _ = tfm.stack_forward(qparams, cfg, x, pos)
+    monkeypatch.setenv("RHO_TTS_TPU_W8A8_PREFILL", "1")
+    a8, _ = tfm.stack_forward(qparams, cfg, x, pos)
+    d, q = np.asarray(wo), np.asarray(a8)
+    rel = np.abs(d - q).max() / (np.abs(d).max() + 1e-6)
+    assert rel < 0.05
+    assert np.isfinite(q).all()
+
+
+# ---------------------------------------------------------------------------
 # int4 packed-nibble mode
 # ---------------------------------------------------------------------------
 
