@@ -183,6 +183,7 @@ def bench_pipeline():
     # a rejected segment rejoins the running slot batch immediately instead
     # of costing a lockstep extra batch round.
     served = os.environ.get("BENCH_SERVE_PIPELINE", "0") == "1"
+    ragged = os.environ.get("BENCH_RAGGED", "0") == "1"
     serve_kw = (
         dict(
             serving=True,
@@ -268,7 +269,7 @@ def bench_pipeline():
     # Random-weight vocoder output is quieter than the -50 dB trim gate;
     # disable trimming so the bench measures real audio durations.
     tts.trim_silence = False
-    if os.environ.get("BENCH_RAGGED", "0") == "1":
+    if ragged:
         # Long-form ragged workload: 20 single-segment items with lengths
         # cycling 100-400 chars (so decode budgets cycle ~150-450 frames).
         # This is the shape continuous batching exists for — the lockstep
@@ -306,7 +307,7 @@ def bench_pipeline():
     suffix = "_full_validation" if full else ""
     if reject_rate > 0:
         suffix += f"_reject{int(reject_rate * 100)}"
-    if os.environ.get("BENCH_RAGGED", "0") == "1":
+    if ragged:
         suffix += "_ragged"
     if served:
         suffix += "_served"
@@ -712,7 +713,15 @@ def bench_chatterbox():
     quant = None if quant in ("", "none", "bf16") else quant
     fails = int(os.environ.get("BENCH_CB_FAILS", "0"))
     cand = int(os.environ.get("BENCH_CAND", "1"))
-    iters = int(os.environ.get("BENCH_CB_ITERS", str(fails + 2 if fails else 1)))
+    # Default the iteration budget high enough that the candidate path can
+    # actually engage (the engine requires max_iterations > 1 and takes
+    # k = min(cand, budget) in round 1).
+    default_iters = max(fails + 2 if fails else 1, cand + 1 if cand > 1 else 1)
+    iters = int(os.environ.get("BENCH_CB_ITERS", str(default_iters)))
+    if cand > 1 and iters <= 1:
+        log(f"BENCH_CAND={cand} but max_iterations={iters}: candidate "
+            f"batching never engages; labeling the metric cand1")
+        cand = 1
 
     ref = "/tmp/bench_ref.wav"
     t = np.arange(24000 * 3) / 24000
@@ -743,9 +752,22 @@ def bench_chatterbox():
                 )[0]
 
             def _validate_accent_drift_batch(self, audios, sample_rate):
-                return self._inject(
-                    super()._validate_accent_drift_batch(audios, sample_rate)
+                # The stock batch impl detects the overridden single hook
+                # above and would dispatch per-audio through it — k
+                # sequential programs, each injecting (double-counting
+                # _seen). Shadow the single hook with the stock bound
+                # method for the duration of the call so the REAL batched
+                # program runs, then inject exactly once.
+                from rho_tts_tpu.engine import BaseTTS
+
+                self.__dict__["_validate_accent_drift"] = (
+                    BaseTTS._validate_accent_drift.__get__(self)
                 )
+                try:
+                    real = super()._validate_accent_drift_batch(audios, sample_rate)
+                finally:
+                    del self.__dict__["_validate_accent_drift"]
+                return self._inject(real)
 
         provider_cls = FailingChatterboxTTS
 

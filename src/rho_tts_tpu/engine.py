@@ -1033,6 +1033,7 @@ class BaseTTS(ABC):
 
         attempts = 0
         round_no = 0
+        cur_k = self.candidates_per_iteration
         while attempts < self.max_iterations:
             if token.is_cancelled():
                 raise CancelledException(
@@ -1043,11 +1044,10 @@ class BaseTTS(ABC):
                 self.seed = int(time.time() * 1000) % 100000
                 self._set_seeds()
             round_no += 1
-            k = min(self.candidates_per_iteration, self.max_iterations - attempts)
-            attempts += k
+            k = min(cur_k, self.max_iterations - attempts)
             logger.info(
                 f"    Candidate round {round_no}: {k} sample(s), seed {self.seed} "
-                f"({attempts}/{self.max_iterations} attempts)"
+                f"({attempts}/{self.max_iterations} attempts consumed)"
             )
 
             try:
@@ -1058,13 +1058,20 @@ class BaseTTS(ABC):
             except RuntimeError as e:
                 msg = str(e).lower()
                 if any(m in msg for m in _OOM_MARKERS):
-                    logger.error(f"    Segment {seg_idx + 1} OOM: {e}")
+                    # Charge ONE iteration (the reference charges OOM retries)
+                    # and shrink the candidate batch: a 2k-row CFG batch that
+                    # reproducibly doesn't fit must not fail every round.
+                    logger.error(f"    Segment {seg_idx + 1} OOM at k={k}: {e}")
+                    attempts += 1
+                    cur_k = max(1, k // 2)
                     self._free_device_memory()
                     continue
                 raise
             except Exception as e:  # noqa: BLE001
                 logger.warning(f"    Segment {seg_idx + 1}: generation error ({e})")
+                attempts += 1
                 continue
+            attempts += k
             if not cands:
                 continue
             last_audio = cands[-1]
@@ -1075,12 +1082,27 @@ class BaseTTS(ABC):
                         cands, self.sample_rate
                     )
             except Exception as e:  # noqa: BLE001
-                logger.warning(f"    Segment {seg_idx + 1}: validation error ({e})")
-                continue
+                # Same fallback as the lockstep batched path: keep the
+                # candidates and validate each one individually.
+                logger.warning(f"    Batched drift validation error ({e})")
+                drift_results = None
 
             passing: List[int] = []
-            for pos, (drift_prob, is_voice_ok) in enumerate(drift_results):
-                self._auto_sort_audio(cands[pos], drift_prob)
+            for pos in range(len(cands)):
+                try:
+                    if drift_results is not None:
+                        drift_prob, is_voice_ok = drift_results[pos]
+                    else:
+                        drift_prob, is_voice_ok = self._validate_accent_drift(
+                            cands[pos], self.sample_rate
+                        )
+                    self._auto_sort_audio(cands[pos], drift_prob)
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(
+                        f"    Segment {seg_idx + 1} candidate {pos + 1}: "
+                        f"validation error ({e})"
+                    )
+                    continue
                 if drift_prob < best_drift:
                     best_drift = drift_prob
                     best_audio = cands[pos]
@@ -1101,8 +1123,13 @@ class BaseTTS(ABC):
                         [segment] * len(passing),
                     )
             except Exception as e:  # noqa: BLE001
-                logger.warning(f"    Batched STT validation error ({e})")
-                stt_results = [(True, 1.0, None)] * len(passing)
+                # The sequential loop this path replaces treats a validation
+                # exception as a failed attempt (retry) — match it rather
+                # than accepting candidates with a fabricated similarity.
+                logger.warning(
+                    f"    Batched STT validation error ({e}); retrying round"
+                )
+                continue
 
             for pos, (is_text_ok, text_sim, transcribed) in zip(passing, stt_results):
                 best_text_sim = text_sim

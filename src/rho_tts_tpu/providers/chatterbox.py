@@ -129,45 +129,39 @@ class ChatterboxTTS(BaseTTS):
         except Exception as exc:  # noqa: BLE001
             logger.warning("Reference embedding unavailable: %s", exc)
 
-    def _generate_audio(self, text: Union[str, List[str]], **kwargs):
-        """Generate audio with per-reference conditionals caching."""
-        if isinstance(text, list):
-            return [self._generate_audio(t, **kwargs) for t in text]
-
+    def _prime_conditionals(self) -> dict:
+        """Load (cached) voice conditionals into the model and return the
+        sampling kwargs shared by every generate/stream entry point."""
         prompt_path = self.reference_audio_path if self.voice_cloning else None
         if prompt_path:
             if prompt_path not in self._prompt_cache:
                 self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
             self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
-            prompt_path = None
 
         gen_kwargs = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
         if self.min_audio_sec > 0:
             gen_kwargs["min_new_tokens"] = int(
                 self.min_audio_sec * self.model.cfg.codec.frame_rate
             )
-        gen_kwargs.update(kwargs)
+        return gen_kwargs
 
+    def _generate_audio(self, text: Union[str, List[str]], **kwargs):
+        """Generate audio with per-reference conditionals caching."""
+        if isinstance(text, list):
+            return [self._generate_audio(t, **kwargs) for t in text]
+
+        gen_kwargs = self._prime_conditionals()
+        gen_kwargs.update(kwargs)
         return self.model.generate(
             text,
-            audio_prompt_path=prompt_path,
+            audio_prompt_path=None,
             rng=self.next_rng(),
             **gen_kwargs,
         )
 
     def _generate_audio_candidates(self, text: str, k: int) -> List:
         """k independent samples of one segment in a single CFG batch."""
-        prompt_path = self.reference_audio_path if self.voice_cloning else None
-        if prompt_path:
-            if prompt_path not in self._prompt_cache:
-                self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
-            self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
-
-        gen_kwargs = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
-        if self.min_audio_sec > 0:
-            gen_kwargs["min_new_tokens"] = int(
-                self.min_audio_sec * self.model.cfg.codec.frame_rate
-            )
+        gen_kwargs = self._prime_conditionals()
         return self.model.generate_candidates(
             text, k, audio_prompt_path=None, rng=self.next_rng(), **gen_kwargs
         )
@@ -180,17 +174,7 @@ class ChatterboxTTS(BaseTTS):
         stream bit-compatible with the one-shot path (parity+ over the
         reference, which has no sub-segment streaming).
         """
-        prompt_path = self.reference_audio_path if self.voice_cloning else None
-        if prompt_path:
-            if prompt_path not in self._prompt_cache:
-                self._prompt_cache[prompt_path] = self.model.prepare_conditionals(prompt_path)
-            self.model.conditionals = np.array(self._prompt_cache[prompt_path], copy=True)
-
-        kw = dict(temperature=self.temperature, cfg_weight=self.cfg_weight)
-        if self.min_audio_sec > 0:
-            kw["min_new_tokens"] = int(
-                self.min_audio_sec * self.model.cfg.codec.frame_rate
-            )
+        kw = self._prime_conditionals()
         cancel_check = (
             cancellation_token.raise_if_cancelled if cancellation_token else None
         )

@@ -125,6 +125,83 @@ def test_stt_failure_retries_next_round():
     assert result.text_similarity == pytest.approx(0.9)
 
 
+def test_oom_round_charges_one_attempt_and_shrinks_k():
+    """A 2k-row batch that OOMs must not burn k attempts per round: one
+    iteration is charged (reference charges OOM retries) and the candidate
+    count halves so a reproducible OOM eventually fits."""
+
+    class OOMFirstTTS(CandFakeTTS):
+        def _generate_audio_candidates(self, text, k):
+            if not self.rounds:
+                self.rounds.append(k)
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+            return super()._generate_audio_candidates(text, k)
+
+    tts = OOMFirstTTS(k=4)
+    tts.max_iterations = 5
+    tts.voice_cloning = True
+    with patch.object(
+        tts, "_validate_accent_drift_batch",
+        side_effect=lambda auds, sr: [(0.05, True)] * len(auds),
+    ), patch.object(
+        tts, "_validate_text_match_batch",
+        side_effect=lambda auds, sr, txts: [(True, 1.0, None)] * len(auds),
+    ):
+        result = tts.generate("Hello there")
+    assert result is not None
+    # round 1: k=4 OOMs (1 attempt charged), round 2 retries at k=2
+    assert tts.rounds == [4, 2]
+
+
+def test_stt_exception_is_a_failed_round_not_an_accept():
+    """A batched-STT exception must retry (sequential-loop semantics), not
+    accept a candidate with a fabricated similarity of 1.0."""
+    tts = CandFakeTTS(k=2)
+    tts.max_iterations = 4
+    tts.voice_cloning = True
+    calls = {"n": 0}
+
+    def stt(auds, sr, txts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transcription backend fell over")
+        return [(True, 0.88, None)] * len(auds)
+
+    with patch.object(
+        tts, "_validate_accent_drift_batch",
+        side_effect=lambda auds, sr: [(0.05, True)] * len(auds),
+    ), patch.object(tts, "_validate_text_match_batch", side_effect=stt):
+        result = tts.generate("Hello there")
+    assert result is not None
+    assert tts.rounds == [2, 2]  # round 1 discarded, round 2 accepted
+    assert result.text_similarity == pytest.approx(0.88)  # never 1.0
+
+
+def test_drift_batch_error_falls_back_to_per_candidate():
+    """A batched-drift exception keeps the round's candidates and validates
+    each individually (lockstep-path fallback) instead of discarding them."""
+    tts = CandFakeTTS(k=3)
+    tts.max_iterations = 3
+    tts.voice_cloning = True
+
+    def boom(auds, sr):
+        raise RuntimeError("batched feature program failed")
+
+    with patch.object(
+        tts, "_validate_accent_drift_batch", side_effect=boom
+    ), patch.object(
+        tts, "_validate_accent_drift",
+        side_effect=lambda a, sr: (0.04, True),
+    ), patch.object(
+        tts, "_validate_text_match_batch",
+        side_effect=lambda auds, sr, txts: [(True, 0.95, None)] * len(auds),
+    ):
+        result = tts.generate("Hello there")
+    assert result is not None
+    assert tts.rounds == [3]  # one round; candidates survived the fallback
+    assert result.drift_prob == pytest.approx(0.04)
+
+
 def test_cancellation_in_candidate_round():
     tts = CandFakeTTS(k=2)
     tts.max_iterations = 4
