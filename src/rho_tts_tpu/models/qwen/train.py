@@ -47,14 +47,25 @@ def init_train_state(cfg: QwenTTSConfig, seed: int = 0, optimizer=None):
     return params, opt_state
 
 
-def _forward_loss(params: Params, cfg: QwenTTSConfig, batch: Dict[str, jnp.ndarray]):
+def _forward_loss(
+    params: Params,
+    cfg: QwenTTSConfig,
+    batch: Dict[str, jnp.ndarray],
+    stack_fn=None,
+):
     """Teacher-forced CE loss.
 
     batch:
       text_ids:   (B, Tt) int32
       codes:      (B, Tc, nq) int32 target codec tokens
       codes_mask: (B, Tc) bool
+
+    ``stack_fn`` swaps the talker forward implementation (same contract as
+    ``transformer.stack_forward`` uncached) — ``parallel.pipeline`` passes
+    its GPipe-microbatched forward here for pipeline-parallel training.
     """
+    if stack_fn is None:
+        stack_fn = tfm.stack_forward
     text_ids = batch["text_ids"]
     codes = batch["codes"]
     mask = batch["codes_mask"]
@@ -74,7 +85,7 @@ def _forward_loss(params: Params, cfg: QwenTTSConfig, batch: Dict[str, jnp.ndarr
 
     t_total = tt + tc
     positions = jnp.broadcast_to(jnp.arange(t_total), (b, t_total))
-    h, _ = tfm.stack_forward(params["talker"], cfg.talker, embeds, positions)
+    h, _ = stack_fn(params["talker"], cfg.talker, embeds, positions)
     h_audio = h[:, tt : tt + tc]  # hidden states predicting each code step
 
     logits = h_audio.astype(jnp.float32) @ params["lm_head"].astype(jnp.float32)

@@ -12,4 +12,10 @@ from .inference import (
     enable_tensor_parallel,
 )
 from .mesh import create_mesh, default_mesh_shape
+from .pipeline import (
+    create_pipeline_mesh,
+    pipeline_stack_forward,
+    pipeline_train_step,
+    shard_stack_for_pipeline,
+)
 from .sharding import batch_sharding, param_shardings, qwen_param_specs, shard_params
