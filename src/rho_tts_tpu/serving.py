@@ -38,13 +38,16 @@ at decode-chunk boundaries ("continuous batching" / in-flight batching):
   retirement (or windowed for streaming); they cross to the host only
   if a caller reads ``ServeRequest.codes``.
 
-Per-request sampling is NOT bit-reproducible across different schedules
-(rows share one RNG stream and draws depend on slot assignment); with
-``top_k=1`` (greedy) results are schedule-independent and match
-``QwenTTSModel.generate_codes`` exactly, which is what the parity tests
-pin. Reference scope note: the reference has no serving engine at all —
-this is a parity+ subsystem; its closest analogue is the request queue a
-deployment would put in front of ``base_tts.generate``.
+Per-request sampling IS schedule-reproducible: every row draws its frame
+``f`` noise from ``fold_in(fold_in(base, request_seed), f)`` — a pure
+function of the request, independent of slot assignment, batch
+composition, and chunk schedule — so both greedy (``top_k=1``) and
+sampled (``top_k>1``) serving match ``QwenTTSModel.generate_codes``
+token-exactly given the same per-request seed (pinned in
+tests/test_serving.py). Reference scope note: the reference has no
+serving engine at all — this is a parity+ subsystem; its closest
+analogue is the request queue a deployment would put in front of
+``base_tts.generate``.
 """
 
 from __future__ import annotations
@@ -70,6 +73,7 @@ from .models.qwen.model import (
     _predict_residuals,
     _prefill,
     _round_up,
+    _sample_token_seeded,
     _vocode,
     _vocode_rows,
 )
@@ -101,19 +105,6 @@ def _maybe_sync(x) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _sample_rowtemp(logits, rng, temperature, top_k: int):
-    """Top-k gumbel sampling with PER-ROW temperature ((B,) array).
-
-    ``top_k=1`` is exact greedy (argmax), independent of rng and
-    temperature — the schedule-invariant mode the parity tests use.
-    """
-    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-5)[:, None]
-    vals, idxs = jax.lax.top_k(logits, top_k)
-    g = jax.random.gumbel(rng, vals.shape)
-    choice = jnp.argmax(vals + g, axis=-1)
-    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
-
-
 @partial(
     jax.jit, static_argnames=("cfg", "steps", "top_k"), donate_argnums=(1, 2, 3, 4)
 )
@@ -129,7 +120,7 @@ def _serve_decode_chunk(
     last_codes: jnp.ndarray,  # (B, nq)
     done: jnp.ndarray,  # (B,) bool
     active: jnp.ndarray,  # (B,) bool — row holds a live request
-    rng: jnp.ndarray,
+    seeds: jnp.ndarray,  # (B,) int32 per-request sampling seeds
     temperature: jnp.ndarray,  # (B,) f32
     frames_done: jnp.ndarray,  # (B,) int32: frames generated so far per row
     min_frames: jnp.ndarray,  # (B,) int32: EOS suppressed below this
@@ -160,7 +151,7 @@ def _serve_decode_chunk(
     s = cache_k.shape[2]
 
     def step(carry, t):
-        cache_k, cache_v, key_valid, last_codes, done, rng = carry
+        cache_k, cache_v, key_valid, last_codes, done = carry
         embs = params["audio_embed"]  # (nq, V, H)
         emb = jnp.zeros((b, embs.shape[-1]), embs.dtype)
         for q in range(nq):
@@ -186,11 +177,15 @@ def _serve_decode_chunk(
             h_last, params["lm_head"], preferred_element_type=jnp.float32
         )
 
-        rng, k = jax.random.split(rng)
         suppress = (frames_done + t) < min_frames  # (B,)
         eos_col = jnp.where(suppress, -1e30, logits[:, cfg.audio_eos])
         logits = logits.at[:, cfg.audio_eos].set(eos_col)
-        tok0 = _sample_rowtemp(logits, k, temperature, top_k)
+        # Per-row (seed, frame) keys: the draw is independent of slot
+        # assignment and batch composition, so top_k>1 serving reproduces
+        # the one-shot path given the same per-request seed.
+        tok0 = _sample_token_seeded(
+            logits, seeds, frames_done + t, temperature, top_k
+        )
         newly_done = tok0 == cfg.audio_eos
         dead = done | ~active
         tok0 = jnp.where(dead, cfg.audio_pad, tok0)
@@ -202,11 +197,11 @@ def _serve_decode_chunk(
         codes = jnp.concatenate([tok0[:, None], res], axis=-1)
 
         done = done | newly_done
-        return (cache_k, cache_v, key_valid, codes, done, rng), (codes, done)
+        return (cache_k, cache_v, key_valid, codes, done), (codes, done)
 
-    carry0 = (cache_k, cache_v, key_valid, last_codes, done, rng)
+    carry0 = (cache_k, cache_v, key_valid, last_codes, done)
     carry, (codes_seq, done_seq) = jax.lax.scan(step, carry0, jnp.arange(steps))
-    cache_k, cache_v, key_valid, last_codes, done, rng = carry
+    cache_k, cache_v, key_valid, last_codes, done = carry
     codes_chunk = jnp.transpose(codes_seq, (1, 0, 2))  # (B, steps, nq)
     done_chunk = jnp.transpose(done_seq, (1, 0))  # (B, steps)
     # Append this chunk's codes at each row's logical frame positions.
@@ -228,7 +223,6 @@ def _serve_decode_chunk(
         codes_buf,
         last_codes,
         done,
-        rng,
         rope_next + steps,
         frames_done + steps,
     )
@@ -268,20 +262,23 @@ def _insert_rows(
 
 
 @partial(jax.jit, static_argnames=("top_k", "eos"))
-def _admit_sample(logits, rng, min_frames, temperature, top_k: int, eos: int):
-    """Sample each admitted row's first token from its prefill logits
-    (EOS suppressed where the row has a min-frames floor). Stays on
-    device — the host never waits on prefill completion."""
+def _admit_sample(logits, seeds, min_frames, temperature, top_k: int, eos: int):
+    """Sample each admitted row's first token (frame 0) from its prefill
+    logits with the per-request (seed, frame=0) key — the same draw the
+    one-shot path makes. EOS suppressed where the row has a min-frames
+    floor. Stays on device — the host never waits on prefill completion."""
     eos_col = jnp.where(min_frames > 0, -1e30, logits[:, eos])
     logits = logits.at[:, eos].set(eos_col)
-    tok0 = _sample_rowtemp(logits, rng, temperature, top_k)
+    tok0 = _sample_token_seeded(
+        logits, seeds, jnp.zeros_like(seeds), temperature, top_k
+    )
     return tok0, tok0 == eos
 
 
 @jax.jit
 def _admit_full(
     last_codes, done, active, rope_next, frames_done, min_frames, temperature,
-    codes_buf, rows, tok0, done0, lens, minf, temps,
+    codes_buf, seeds, rows, tok0, done0, lens, minf, temps, seed_vals,
 ):
     """Write the admitted rows into every device-resident state carry.
 
@@ -307,6 +304,7 @@ def _admit_full(
         min_frames.at[rows].set(minf),
         temperature.at[rows].set(temps),
         codes_buf.at[rows].set(row0),
+        seeds.at[rows].set(seed_vals),
     )
 
 
@@ -359,6 +357,7 @@ class ServeRequest:
         stream: bool = False,
         priority: int = 0,
         expires_s: Optional[float] = None,
+        seed: int = 0,
     ):
         self.text = text
         self.speaker = speaker
@@ -371,6 +370,7 @@ class ServeRequest:
         self.stream = bool(stream)
         self.priority = int(priority)
         self.expires_s = expires_s
+        self.seed = int(seed)
 
         self._event = threading.Event()
         self._cancelled = threading.Event()
@@ -575,6 +575,10 @@ class ServingEngine:
         self._temp = place(
             jnp.full((self.n_slots,), self.cfg.temperature, jnp.float32), "data"
         )
+        # Per-request sampling seeds: row i at frame f draws from
+        # fold_in(fold_in(base, seed), f) — schedule-reproducible, matching
+        # the one-shot path (models.qwen.model._sample_token_seeded).
+        self._seeds = place(jnp.zeros((self.n_slots,), jnp.int32), "data")
         # Device-resident per-row code log: frame 0 (prefill-sampled) plus
         # up to max_frames of decode, with one chunk of slack so streaming
         # windows can slice a full bucket at the tail.
@@ -585,7 +589,8 @@ class ServingEngine:
             ),
             "data",
         )
-        self._rng = jax.random.PRNGKey(seed)
+        self._seed0 = int(seed)
+        self._n_submitted = 0  # drives default per-request seeds
 
         self._active = np.zeros(self.n_slots, bool)  # host mirror (scheduling)
         self._slots = [_Slot() for _ in range(self.n_slots)]
@@ -623,6 +628,7 @@ class ServingEngine:
         stream: bool = False,
         priority: int = 0,
         expires_s: Optional[float] = None,
+        seed: Optional[int] = None,
     ) -> ServeRequest:
         """Queue one utterance; returns a future-like :class:`ServeRequest`.
 
@@ -636,7 +642,19 @@ class ServingEngine:
         ``expires_s``: a request still QUEUED this many seconds after
         submission is dropped at admission time and resolves with a
         timeout error — load-shedding for latency-bound callers.
+        ``seed``: per-request sampling seed. Sampling is a pure function
+        of (seed, frame index), so results are reproducible across slot
+        assignments and batch compositions, and match
+        ``QwenTTSModel.generate_codes(..., seeds=[seed])`` exactly.
+        Defaults to a deterministic per-submission value derived from the
+        engine seed and the submission index.
         """
+        if seed is None:
+            with self._lock:
+                idx = self._n_submitted
+                self._n_submitted += 1
+            # Deterministic, collision-free across one engine's lifetime.
+            seed = (self._seed0 * 1_000_003 + idx) & 0x7FFFFFFF
         if max_frames is None:
             max_frames = int(np.clip(len(text) * 1.0 + 50, self.chunk, self.max_frames))
         max_frames = min(_round_up(int(max_frames), self.chunk), self.max_frames)
@@ -652,6 +670,7 @@ class ServingEngine:
             stream=stream,
             priority=priority,
             expires_s=expires_s,
+            seed=seed,
         )
         with self._wake:
             if self._loop_error is not None:
@@ -773,7 +792,6 @@ class ServingEngine:
             sj["rope_pos"], sj["attn_mask"], pk, pv, pkv,
         )
 
-        self._rng, k0 = jax.random.split(self._rng)
         # Bucket padding duplicates the LAST REAL row (same target row index
         # in rows_arr) — duplicate scatters must carry identical values or
         # the winner is unspecified and could clobber the real admit.
@@ -781,10 +799,11 @@ class ServingEngine:
         min_f = np.array(pad([r.min_frames for r, _, _, _ in built], 0), np.int32)
         temps = np.array(pad([r.temperature for r, _, _, _ in built], 1.0), np.float32)
         lens_arr = np.array(pad([n for _, _, n, _ in built], 0), np.int32)
+        seed_vals = np.array(pad([r.seed for r, _, _, _ in built], 0), np.int32)
         rows_arr = jnp.asarray(np.array(pad(rows_real, 0), np.int32))
 
         tok0, done0 = _admit_sample(
-            logits, k0, jnp.asarray(min_f), jnp.asarray(temps),
+            logits, jnp.asarray(seed_vals), jnp.asarray(min_f), jnp.asarray(temps),
             self.top_k, int(self.cfg.audio_eos),
         )
         self._cache_k, self._cache_v, self._key_valid = _insert_rows(
@@ -793,11 +812,11 @@ class ServingEngine:
         )
         (self._last_codes, self._done, self._active_dev, self._rope_next,
          self._frames_done, self._min_frames, self._temp,
-         self._codes_buf) = _admit_full(
+         self._codes_buf, self._seeds) = _admit_full(
             self._last_codes, self._done, self._active_dev, self._rope_next,
             self._frames_done, self._min_frames, self._temp, self._codes_buf,
-            rows_arr, tok0, done0, jnp.asarray(lens_arr),
-            jnp.asarray(min_f), jnp.asarray(temps),
+            self._seeds, rows_arr, tok0, done0, jnp.asarray(lens_arr),
+            jnp.asarray(min_f), jnp.asarray(temps), jnp.asarray(seed_vals),
         )
 
         now = time.time()
@@ -977,7 +996,7 @@ class ServingEngine:
             with profiling.stage("serve/dispatch"):
                 (done_chunk, self._cache_k, self._cache_v,
                  self._key_valid, self._codes_buf, self._last_codes,
-                 self._done, self._rng,
+                 self._done,
                  self._rope_next, self._frames_done) = (
                     _serve_decode_chunk(
                         self.model.params,
@@ -989,7 +1008,7 @@ class ServingEngine:
                         self._last_codes,
                         self._done,
                         self._active_dev,
-                        self._rng,
+                        self._seeds,
                         self._temp,
                         self._frames_done,
                         self._min_frames,

@@ -20,3 +20,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_executable_memory():
+    """Drop compiled executables after each test module.
+
+    The suite is compile-heavy (64 files, many distinct mesh/shape
+    programs); keeping every executable alive in one pytest process grew
+    RSS past 50 GB. Per-module clearing bounds the working set — modules
+    rarely share programs, so the recompile cost is negligible.
+    """
+    yield
+    jax.clear_caches()

@@ -44,15 +44,21 @@ def _stack_and_inputs(cfg, b=8, t=6, seed=0):
 
 
 class TestForwardParity:
-    def test_pure_pipe_exact(self):
-        params, x, pos = _stack_and_inputs(CFG4)
+    def test_pure_pipe_exact_and_jittable(self):
+        # One compile covers both claims: parity vs the unmeshed stack AND
+        # jit-compatibility (the schedule is one shard_map program).
+        params, x, pos = _stack_and_inputs(CFG4, b=4)
         ref, _ = tfm.stack_forward(params, CFG4, x, pos)
         mesh = create_pipeline_mesh(n_devices=4, n_stages=4)
         staged = shard_stack_for_pipeline(mesh, params)
-        out, caches = pipeline_stack_forward(
-            staged, CFG4, x, pos, mesh=mesh
-        )
-        assert caches is None
+
+        @jax.jit
+        def f(p, x, pos):
+            out, caches = pipeline_stack_forward(p, CFG4, x, pos, mesh=mesh)
+            assert caches is None
+            return out
+
+        out = f(staged, x, pos)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5)
 
     def test_data_by_pipe_mesh_exact(self):
@@ -60,18 +66,24 @@ class TestForwardParity:
         ref, _ = tfm.stack_forward(params, CFG4, x, pos)
         mesh = create_pipeline_mesh(n_devices=8, n_stages=4)  # data=2, pipe=4
         staged = shard_stack_for_pipeline(mesh, params)
-        out, _ = pipeline_stack_forward(
-            staged, CFG4, x, pos, mesh=mesh, n_microbatches=2
-        )
+        out = jax.jit(
+            lambda p, x, pos: pipeline_stack_forward(
+                p, CFG4, x, pos, mesh=mesh, n_microbatches=2
+            )[0]
+        )(staged, x, pos)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5)
 
     def test_more_microbatches_than_stages(self):
-        params, x, pos = _stack_and_inputs(CFG4, b=8)
+        # jit the call: an eager shard_map of the unrolled schedule takes
+        # ~10x longer to stage than one compiled program.
+        params, x, pos = _stack_and_inputs(CFG4, b=4)
         ref, _ = tfm.stack_forward(params, CFG4, x, pos)
         mesh = create_pipeline_mesh(n_devices=2, n_stages=2)
-        out, _ = pipeline_stack_forward(
-            params, CFG4, x, pos, mesh=mesh, n_microbatches=8
-        )
+        out = jax.jit(
+            lambda p, x, pos: pipeline_stack_forward(
+                p, CFG4, x, pos, mesh=mesh, n_microbatches=4
+            )[0]
+        )(params, x, pos)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5)
 
     def test_attn_mask_travels_with_microbatch(self):
@@ -81,22 +93,13 @@ class TestForwardParity:
         # mask and diverge.
         mask = jnp.arange(6)[None, :] < jnp.array([[2], [4], [6], [3]])
         ref, _ = tfm.stack_forward(params, CFG4, x, pos, attn_mask=mask)
-        mesh = create_pipeline_mesh(n_devices=4, n_stages=4)
-        out, _ = pipeline_stack_forward(
-            params, CFG4, x, pos, attn_mask=mask, mesh=mesh, n_microbatches=4
-        )
+        mesh = create_pipeline_mesh(n_devices=2, n_stages=2)
+        out = jax.jit(
+            lambda p, x, pos, msk: pipeline_stack_forward(
+                p, CFG4, x, pos, attn_mask=msk, mesh=mesh, n_microbatches=4
+            )[0]
+        )(params, x, pos, mask)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5)
-
-    def test_jit_compatible(self):
-        params, x, pos = _stack_and_inputs(CFG4)
-        mesh = create_pipeline_mesh(n_devices=4, n_stages=4)
-
-        @jax.jit
-        def f(p, x, pos):
-            return pipeline_stack_forward(p, CFG4, x, pos, mesh=mesh)[0]
-
-        ref, _ = tfm.stack_forward(params, CFG4, x, pos)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(f(params, x, pos)), rtol=2e-5, atol=2e-5)
 
 
 class TestGradParity:
@@ -112,8 +115,8 @@ class TestGradParity:
             h, _ = pipeline_stack_forward(p, CFG4, x, pos, mesh=mesh)
             return jnp.sum(h.astype(jnp.float32) ** 2)
 
-        g_ref = jax.grad(loss_plain)(params)
-        g_pp = jax.grad(loss_pp)(params)
+        g_ref = jax.jit(jax.grad(loss_plain))(params)
+        g_pp = jax.jit(jax.grad(loss_pp))(params)
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
@@ -139,13 +142,13 @@ class TestTrainStep:
     def test_loss_and_params_match_unpipelined(self):
         cfg = PRESETS["tiny"]  # talker has 2 layers → 2 stages
         optimizer = make_optimizer()
-        batch = self._batch(cfg, b=8)
+        batch = self._batch(cfg, b=4)
 
         p_ref = init_params(jax.random.PRNGKey(0), cfg)
         o_ref = optimizer.init(p_ref)
         p_ref, o_ref, loss_ref = train_step(p_ref, o_ref, batch, cfg, optimizer)
 
-        mesh = create_pipeline_mesh(n_devices=8, n_stages=2)  # data=4, pipe=2
+        mesh = create_pipeline_mesh(n_devices=4, n_stages=2)  # data=2, pipe=2
         p_pp = init_params(jax.random.PRNGKey(0), cfg)
         o_pp = optimizer.init(p_pp)
         with mesh:
@@ -176,6 +179,15 @@ class TestValidation:
         mesh = create_pipeline_mesh(n_devices=4, n_stages=4)
         with pytest.raises(ValueError, match="divide the layer count"):
             pipeline_stack_forward(params, cfg, x, pos, mesh=mesh)
+
+    def test_zero_microbatches_rejected(self):
+        # An explicit 0 must be an error, not silently the stage default.
+        params, x, pos = _stack_and_inputs(CFG4, b=4)
+        mesh = create_pipeline_mesh(n_devices=4, n_stages=4)
+        with pytest.raises(ValueError, match="n_microbatches must be >= 1"):
+            pipeline_stack_forward(
+                params, CFG4, x, pos, mesh=mesh, n_microbatches=0
+            )
 
     def test_batch_must_divide_microbatches(self):
         params, x, pos = _stack_and_inputs(CFG4, b=6)
