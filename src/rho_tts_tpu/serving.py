@@ -520,6 +520,9 @@ class ServingEngine:
         seed: int = 0,
         stream_context: int = 32,
         max_queue: Optional[int] = None,
+        draft_model: Optional[QwenTTSModel] = None,
+        gamma: int = 4,
+        residual_mode: str = "draft",
     ):
         self.model = model
         self.mesh = model.mesh  # None for single-chip serving
@@ -530,10 +533,45 @@ class ServingEngine:
         self.max_frames = _round_up(int(max_frames), self.chunk)
         self.top_k = int(self.cfg.top_k if top_k is None else top_k)
         self.stream_context = int(stream_context)
-        # Ring capacity: prompt + generated frames + one chunk of lagged-
-        # retirement slack (rows decode one surplus chunk while their last
-        # harvest is in flight).
-        self.ring = self.max_prompt + self.max_frames + self.chunk
+
+        # Speculative serving (serving_spec): a distilled draft proposes
+        # gamma tokens per round, the target verifies them in one T=gamma+1
+        # forward. Per-row acceptance desynchronizes rows, which the ring
+        # design absorbs (see serving_spec module docstring).
+        self.draft = draft_model
+        self.gamma = int(gamma)
+        self.residual_mode = residual_mode
+        if draft_model is not None:
+            if residual_mode not in ("strict", "draft"):
+                raise ValueError(f"Unknown residual_mode: {residual_mode!r}")
+            if self.gamma < 1:
+                raise ValueError(f"gamma must be >= 1, got {gamma}")
+            dcfg = draft_model.config
+            if (dcfg.audio_vocab != self.cfg.audio_vocab
+                    or dcfg.text_vocab != self.cfg.text_vocab):
+                raise ValueError(
+                    "draft must share the target's text and codec vocabularies"
+                )
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "speculative serving over a device mesh is not wired yet;"
+                    " serve the draft single-chip"
+                )
+        # Ring capacity. Non-speculative: prompt + generated frames + one
+        # chunk of lagged-retirement slack (rows decode one surplus chunk
+        # while their last harvest is in flight). Speculative: each round
+        # consumes gamma+1 columns regardless of acceptance and a live row
+        # emits >= 1 frame per round, so residence consumes at most
+        # (gamma+1) x (max_frames + lag slack) columns — speculation
+        # trades KV capacity for sequential steps.
+        if draft_model is None:
+            self.ring = self.max_prompt + self.max_frames + self.chunk
+        else:
+            self.ring = (
+                self.max_prompt
+                + (self.gamma + 1) * (self.max_frames + 2)
+                + (self.gamma + 1)  # wrap-jump slack (blocks never straddle)
+            )
 
         # Mesh serving: slot rows shard over 'data', KV heads over 'model'
         # (the same layout as the one-shot TP/DP paths); everything else —
@@ -589,6 +627,12 @@ class ServingEngine:
             ),
             "data",
         )
+        if self.draft is not None:
+            d_ck, d_cv = tfm.make_kv_cache(
+                self.draft.config.talker, self.n_slots, self.ring
+            )
+            self._d_cache_k, self._d_cache_v = d_ck, d_cv
+            self._d_key_valid = jnp.zeros((self.n_slots, self.ring), bool)
         self._seed0 = int(seed)
         self._n_submitted = 0  # drives default per-request seeds
 
@@ -810,6 +854,24 @@ class ServingEngine:
             self._cache_k, self._cache_v, self._key_valid,
             rows_arr, pk, pv, pkv, jnp.int32(self._col),
         )
+        if self.draft is not None:
+            # The draft consumes the SAME prompt arrays (vocabularies are
+            # validated equal) through its own prefill program into its own
+            # ring; its prefill logits are unused (frame 0 samples from the
+            # target, exactly like the one-shot and non-speculative paths).
+            dcfg = self.draft.config
+            dpk, dpv = tfm.make_kv_cache(dcfg.talker, a, p_group)
+            dpkv = jnp.zeros((a, p_group), bool)
+            _dl, dpk, dpv, dpkv = _prefill(
+                self.draft.params, dcfg,
+                sj["ids_slotted"], sj["text_mask"], sj["codes_slotted"],
+                sj["code_mask"], sj["spk_ids"], sj["spk_mask"],
+                sj["rope_pos"], sj["attn_mask"], dpk, dpv, dpkv,
+            )
+            self._d_cache_k, self._d_cache_v, self._d_key_valid = _insert_rows(
+                self._d_cache_k, self._d_cache_v, self._d_key_valid,
+                rows_arr, dpk, dpv, dpkv, jnp.int32(self._col),
+            )
         (self._last_codes, self._done, self._active_dev, self._rope_next,
          self._frames_done, self._min_frames, self._temp,
          self._codes_buf, self._seeds) = _admit_full(
@@ -839,12 +901,58 @@ class ServingEngine:
             pending, self._pending = self._pending, None
             self._harvest_one(pending)
 
+    def _harvest_one_spec(self, pending) -> None:
+        """Harvest one speculative round: per-row real-frame counts + EOS.
+
+        The packed (B, 2) [n_real, hit_eos] array is the round's only
+        device→host transfer (lagged, same overlap as the non-speculative
+        done bitmap). Frame accounting differs from the fixed-step chunk:
+        rows advance by their own acceptance counts."""
+        harvest_dev, owners = pending
+        with profiling.stage("serve/harvest"):
+            hv = np.asarray(harvest_dev)  # (B, 2) int32
+
+        retire: List[int] = []
+        emits: List[Tuple[int, int, int, int]] = []
+        for row in range(self.n_slots):
+            req = owners[row]
+            slot = self._slots[row]
+            if req is None or slot.req is not req:
+                continue
+            n_real, eos = int(hv[row, 0]), bool(hv[row, 1])
+            if slot.done_seen is None:
+                slot.frames += n_real
+                self.frames_decoded += n_real
+                if eos:
+                    slot.done_seen = slot.frames
+            finished = (
+                slot.done_seen is not None
+                or slot.frames >= req.max_frames
+                or req.cancelled
+            )
+            if req.stream and not req.cancelled:
+                total = slot.done_seen if slot.done_seen is not None else slot.frames
+                total = max(min(total, req.max_frames), 1)
+                safe = total if finished else max(total - self.stream_context, 0)
+                if safe > slot.emitted:
+                    lo = max(slot.emitted - self.stream_context, 0)
+                    emits.append((row, lo, total, slot.emitted))
+                    slot.emitted = safe
+            if finished:
+                retire.append(row)
+        if emits:
+            self._emit_stream(emits)
+        if retire:
+            self._retire(retire)
+
     def _harvest_one(self, pending) -> None:
         """Fetch one chunk's done flags and retire finished rows.
 
         The only per-chunk device→host transfer is the (B, steps) done
         bitmap — the codes stay in the device-resident log until vocode
         reads them there."""
+        if self.draft is not None:
+            return self._harvest_one_spec(pending)
         done_dev, owners = pending
         with profiling.stage("serve/harvest"):
             dones = np.asarray(done_dev)
@@ -993,6 +1101,40 @@ class ServingEngine:
             self._admit()
         if self._active.any():
             owners = [self._slots[i].req for i in range(self.n_slots)]
+            if self.draft is not None:
+                from .serving_spec import _spec_serve_round
+
+                with profiling.stage("serve/dispatch"):
+                    (harvest,
+                     self._cache_k, self._cache_v, self._key_valid,
+                     self._d_cache_k, self._d_cache_v, self._d_key_valid,
+                     self._codes_buf, self._last_codes, self._done,
+                     self._rope_next, self._frames_done) = _spec_serve_round(
+                        self.model.params, self.draft.params,
+                        self._cache_k, self._cache_v, self._key_valid,
+                        self._d_cache_k, self._d_cache_v, self._d_key_valid,
+                        self._codes_buf,
+                        self.cfg, self.draft.config,
+                        jnp.int32(self._col), jnp.int32(self._col),
+                        self._rope_next, self._last_codes, self._done,
+                        self._active_dev, self._seeds, self._temp,
+                        self._frames_done, self._min_frames,
+                        self.gamma, self.top_k, self.residual_mode,
+                    )
+                    _maybe_sync(harvest)
+                if self._t_first is None:
+                    self._t_first = time.time()
+                # Verify blocks must never straddle the ring wrap
+                # (block_causal masks by in-block offset): jump to 0
+                # instead of wrapping mid-block.
+                self._col += self.gamma + 1
+                if self._col + self.gamma + 1 > self.ring:
+                    self._col = 0
+                prev, self._pending = self._pending, (harvest, owners)
+                if prev is not None:
+                    self._harvest_one(prev)
+                self._t_last = time.time()
+                return True
             with profiling.stage("serve/dispatch"):
                 (done_chunk, self._cache_k, self._cache_v,
                  self._key_valid, self._codes_buf, self._last_codes,
@@ -1084,6 +1226,8 @@ class ServingEngine:
         self._fail_outstanding(RuntimeError("serving engine closed"))
         self._cache_k = self._cache_v = self._key_valid = None
         self._codes_buf = None
+        if self.draft is not None:
+            self._d_cache_k = self._d_cache_v = self._d_key_valid = None
 
     def _fail_outstanding(self, error: BaseException) -> None:
         """Resolve every queued and in-flight request with ``error``."""
