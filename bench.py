@@ -609,6 +609,51 @@ def bench_coldstart():
     }))
 
 
+def _ensure_distilled_draft(target, preset, top_k, temperature):
+    """Build (once) or restore the distilled speculation draft for a target.
+
+    The draft preset is the flagship-ratio pair of the target (a serving
+    draft must share vocabularies; BASELINE 5s-mech: the ratio must be
+    large enough that a draft step is ~dispatch-bound). Distillation runs
+    on-TPU against the restored target (random weights — the OVERLAP is
+    what matters and it's a property of the distillation, not of the
+    weight values) and the result is cached as a native checkpoint.
+    """
+    from rho_tts_tpu.models import checkpoint as ckpt_lib
+    from rho_tts_tpu.models.qwen import PRESETS
+    from rho_tts_tpu.models.qwen.distill import distill_draft
+    from rho_tts_tpu.models.qwen.model import QwenTTSModel
+
+    pair = {"1.7B": "draft-1.7B", "0.6B": "draft-1.7B", "small": "draft"}
+    dname = pair.get(preset)
+    if dname is None:
+        raise SystemExit(f"no draft preset paired with target preset {preset}")
+    steps = int(os.environ.get("BENCH_SPEC_DISTILL_STEPS", "600"))
+    ckpt_dir = f"/tmp/bench_ckpt_{dname}_distilled_s{steps}_k{top_k}"
+    if ckpt_lib.is_native_checkpoint(ckpt_dir):
+        t0 = time.time()
+        draft = QwenTTSModel.from_pretrained(ckpt_dir)
+        log(f"spec draft: restored {dname} in {time.time()-t0:.1f}s")
+        return draft
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    draft = QwenTTSModel(PRESETS[dname], seed=1)
+    t0 = time.time()
+    stats = distill_draft(
+        target, draft, steps=steps, learning_rate=2e-3,
+        top_k=top_k, temperature=temperature,
+    )
+    log(f"spec draft: distilled {dname} in {time.time()-t0:.0f}s — "
+        f"loss {stats['loss']:.3f}, acceptance-overlap {stats['overlap']:.3f}")
+    ckpt_lib.save_params(
+        ckpt_dir, draft.params,
+        family="qwen", preset=dname, quantization=None,
+        extra={"distilled_for": preset, "steps": steps, "top_k": top_k},
+    )
+    return draft
+
+
 def bench_serve():
     """Continuous-batching serving throughput (rho_tts_tpu.serving).
 
@@ -620,6 +665,12 @@ def bench_serve():
     incomparable). Baseline: the SAME workload through the one-shot
     batch-5 ``synthesize`` path (the reference's batching model,
     /root/reference/src/rho_tts/providers/qwen.py:247-258).
+
+    BENCH_SERVE_SPEC=1 serves the same workload SPECULATIVELY: a
+    flagship-ratio distilled draft proposes BENCH_SPEC_GAMMA tokens per
+    round and the target verifies the slot batch in one forward
+    (rho_tts_tpu.serving_spec); the comparison run without the draft
+    prices the speculation win at realized acceptance.
     """
     import numpy as np
 
@@ -632,11 +683,19 @@ def bench_serve():
     quant = None if quant in ("", "none", "bf16") else quant
     n_slots = int(os.environ.get("BENCH_SLOTS", "8"))
     n_reqs = int(os.environ.get("BENCH_SERVE_REQS", "24"))
+    spec = os.environ.get("BENCH_SERVE_SPEC", "0") == "1"
+    gamma = int(os.environ.get("BENCH_SPEC_GAMMA", "4"))
+    top_k = 4
+    temperature = 0.9
 
     t0 = time.time()
     model = QwenTTSModel.from_pretrained(_ensure_bench_checkpoint(preset, quant))
     log(f"serve: restore {preset} quant={quant} in {time.time()-t0:.1f}s")
     frame_rate = model.config.codec.frame_rate
+    draft = (
+        _ensure_distilled_draft(model, preset, top_k, temperature)
+        if spec else None
+    )
 
     rng = np.random.default_rng(0)
     lengths = rng.choice([128, 192, 256, 384, 512], size=n_reqs).tolist()
@@ -646,13 +705,21 @@ def bench_serve():
 
     stream = os.environ.get("BENCH_SERVE_STREAM", "0") == "1"
 
-    def run_serving():
+    def run_serving(use_draft=None):
+        kw = (
+            dict(draft_model=use_draft, gamma=gamma, residual_mode="draft")
+            if use_draft is not None else {}
+        )
         eng = ServingEngine(
-            model, n_slots=n_slots, max_prompt=64, max_frames=512, top_k=4
+            model, n_slots=n_slots, max_prompt=64, max_frames=512, top_k=top_k,
+            **kw,
         )
         t0 = time.time()
         reqs = [
-            eng.submit(t, min_frames=n, max_frames=n, stream=stream)
+            eng.submit(
+                t, min_frames=n, max_frames=n, stream=stream,
+                temperature=temperature,
+            )
             for t, n in zip(texts, lengths)
         ]
         eng.run_until_idle()
@@ -667,9 +734,9 @@ def bench_serve():
     # insert, vocode buckets); pass 2 is the measurement.
     from rho_tts_tpu.utils import profiling as _prof
 
-    run_serving()
+    run_serving(draft)
     _prof.reset()
-    eng, reqs, wall, wall_sync = run_serving()
+    eng, reqs, wall, wall_sync = run_serving(draft)
     for name, st in _prof.summary().items():
         log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
     audio_sec = sum(r.n_frames for r in reqs) / frame_rate
@@ -678,6 +745,24 @@ def bench_serve():
         f"{wall_sync:.2f}s → aggregate RTF {rtf:.1f} "
         f"(p50 latency {np.median([r.t_done - r.t_submit for r in reqs]):.2f}s, "
         f"p99 {np.percentile([r.t_done - r.t_submit for r in reqs], 99):.2f}s)")
+    if spec:
+        frames = sum(r.n_frames for r in reqs)
+        log(f"serve spec: γ={gamma}, {eng.spec_rounds} rounds for {frames} "
+            f"frames → {frames / max(eng.spec_rounds, 1):.2f} frames/round "
+            f"(slot-batch aggregate; ≤ slots x (γ+1))")
+        # Comparison: the SAME workload without the draft.
+        run_serving(None)
+        _, reqs_ns, _, wall_ns = run_serving(None)
+        rtf_ns = (sum(r.n_frames for r in reqs_ns) / frame_rate) / wall_ns
+        log(f"serve spec: non-speculative comparison {rtf_ns:.1f}x → "
+            f"speculation speedup {rtf / rtf_ns:.2f}x at realized acceptance")
+        print(json.dumps({
+            "metric": f"serving_spec_gamma{gamma}_aggregate_rtf_per_chip",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / rtf_ns, 3),
+        }))
+        return
     if stream:
         ttfa = [r.t_first_audio - r.t_submit for r in reqs]
         ttfa_admit = [r.t_first_audio - r.t_admit for r in reqs]

@@ -129,6 +129,18 @@ PRESETS = {
         text_vocab=512,
         max_position_embeddings=1024,
     ),
+    # Flagship-ratio speculation draft: same vocabularies and codec as the
+    # 1.7B target (a serving draft must share them) with a ~45× smaller
+    # talker. BASELINE 5s-mech showed a 0.6B draft (only ~3× cheaper per
+    # step) can't break even on the 1.7B; at this ratio a draft step is
+    # dispatch-bound, so the round cost is ~one target forward.
+    # Exact-name match only (not in _INFERRED_PRESETS: "1.7B" appears in
+    # real checkpoint names and must keep resolving to the flagship).
+    "draft-1.7B": QwenTTSConfig(
+        name="draft-1.7B",
+        talker=_talker(512, 8, 8, 4, 2048, head_dim=64),
+        text_vocab=152064,
+    ),
     # Small configs for tests / CPU dry-runs
     "tiny": QwenTTSConfig(
         name="tiny",

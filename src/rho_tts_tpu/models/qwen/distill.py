@@ -243,11 +243,16 @@ def distill_draft(
     speaker: Optional[str] = "Vivian",
     seed: int = 0,
     log_every: int = 50,
+    temperature: Optional[float] = None,
+    top_k: Optional[int] = None,
 ) -> Dict[str, float]:
     """Distill ``draft`` toward ``target``'s sampler distribution in place.
 
     Returns summary stats (final loss, final acceptance-overlap proxy).
-    Both models must share the codec vocabulary.
+    Both models must share the codec vocabulary. ``temperature``/``top_k``
+    override the target config's sampler params — match them to the
+    deployment sampler (acceptance is the overlap of the two top-k
+    distributions actually drawn from, so train toward that one).
     """
     cfg_t, cfg_d = target.config, draft.config
     if cfg_t.audio_vocab != cfg_d.audio_vocab:
@@ -273,8 +278,10 @@ def distill_draft(
     optimizer = optax.adamw(schedule, weight_decay=0.0)
     params = draft.params
     opt_state = optimizer.init(params)
-    temperature = jnp.float32(cfg_t.temperature)
-    top_k = int(cfg_t.top_k)
+    temperature = jnp.float32(
+        cfg_t.temperature if temperature is None else temperature
+    )
+    top_k = int(cfg_t.top_k if top_k is None else top_k)
 
     loss = overlap = None
     for step in range(steps):

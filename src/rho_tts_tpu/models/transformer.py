@@ -220,7 +220,7 @@ def _block_forward_cached(
     ck_all: jnp.ndarray,  # (L, B, S, Hkv, D) — full stacked K cache
     cv_all: jnp.ndarray,  # (L, B, S, Hkv, D)
     layer: int,  # static layer index
-    slot: jnp.ndarray,  # scalar int32 write slot
+    slot: jnp.ndarray,  # int32 write slot: scalar (batch-uniform) or (B,)
     attn_mask: Optional[jnp.ndarray],
     key_valid: Optional[jnp.ndarray],  # (B, S), ALREADY includes new slots
     fused_prefill: bool,
@@ -257,11 +257,17 @@ def _block_forward_cached(
     ``block_causal=True`` (static, only with ``slot_causal=False``)
     restores causality WITHIN the newly written block ``[slot, slot+T)``:
     query ``j`` may not see block keys past its own position. This is the
-    T>1 ring-buffer write mode (speculative verification forwards): the
-    block is guaranteed contiguous by the caller (the serving scheduler
-    jumps the write column to 0 rather than letting a block straddle the
-    wrap), older history stays key_valid-gated regardless of where it
-    sits in the ring.
+    T>1 ring-buffer write mode (speculative verification forwards):
+    the block is contiguous by construction (per-row columns rewind after
+    acceptance and never wrap — the serving ring is sized so a row's
+    lifetime fits), older history stays key_valid-gated regardless of
+    where it sits in the ring.
+
+    ``slot`` may be a (B,) vector — per-row write columns. The write then
+    scatters each row's T new slots at its own offset (speculative
+    serving: rows desynchronize, each reuses its rejected columns).
+    Out-of-range per-row columns drop (rows past their frame budget are
+    about to be retired by the host; their emissions are discarded).
     """
     b, t, _ = x.shape
     scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -273,14 +279,25 @@ def _block_forward_cached(
     k = apply_rope(k, positions, cfg.rope_theta)
 
     s = ck_all.shape[2]
-    lz = jnp.int32(layer)
-    z = jnp.int32(0)
-    ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k.astype(ck_all.dtype)[None], (lz, z, slot, z, z)
-    )
-    cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v.astype(cv_all.dtype)[None], (lz, z, slot, z, z)
-    )
+    per_row = slot.ndim == 1
+    if per_row:
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+        cols = slot[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        ck_all = ck_all.at[layer, rows, cols].set(
+            k.astype(ck_all.dtype), mode="drop"
+        )
+        cv_all = cv_all.at[layer, rows, cols].set(
+            v.astype(cv_all.dtype), mode="drop"
+        )
+    else:
+        lz = jnp.int32(layer)
+        z = jnp.int32(0)
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k.astype(ck_all.dtype)[None], (lz, z, slot, z, z)
+        )
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v.astype(cv_all.dtype)[None], (lz, z, slot, z, z)
+        )
 
     if fused_prefill and t > 1 and _fused_attention_available():
         # The chunk IS the whole attention context (empty cache): run
@@ -292,9 +309,11 @@ def _block_forward_cached(
     else:
         w = s if kv_window is None else min(kv_window, s)
         scores = _gqa_scores(q, ck_all[layer][:, :w]) * scale  # (B, Hq, T, w)
+        # Broadcastable block start: (1,1,1,1) scalar or (B,1,1,1) per-row.
+        slot_b = slot[:, None, None, None] if per_row else slot
         if slot_causal:
             key_pos = jnp.arange(w)[None, None, None, :]
-            query_abs = (slot + jnp.arange(t))[None, None, :, None]  # (1,1,T,1)
+            query_abs = slot_b + jnp.arange(t)[None, None, :, None]
             mask = key_pos <= query_abs
             if key_valid is not None:
                 mask = mask & key_valid[:, None, None, :w]
@@ -303,8 +322,8 @@ def _block_forward_cached(
             if block_causal and t > 1:
                 key_pos = jnp.arange(w)[None, None, None, :]
                 q_idx = jnp.arange(t)[None, None, :, None]
-                in_block = (key_pos >= slot) & (key_pos < slot + t)
-                future = in_block & ((key_pos - slot) > q_idx)
+                in_block = (key_pos >= slot_b) & (key_pos < slot_b + t)
+                future = in_block & ((key_pos - slot_b) > q_idx)
                 mask = mask & ~future
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
@@ -363,9 +382,15 @@ def stack_forward(
             new_valid = (
                 jnp.ones((b, t), bool) if attn_mask is None else attn_mask
             )
-            key_valid = jax.lax.dynamic_update_slice(
-                key_valid, new_valid, (jnp.int32(0), slot)
-            )
+            if slot.ndim == 1:  # per-row write columns
+                cols = slot[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+                key_valid = key_valid.at[
+                    jnp.arange(b, dtype=jnp.int32)[:, None], cols
+                ].set(new_valid, mode="drop")
+            else:
+                key_valid = jax.lax.dynamic_update_slice(
+                    key_valid, new_valid, (jnp.int32(0), slot)
+                )
         # Python-unrolled layers: the stacked caches thread through as a
         # carried value updated in place; a scan-over-layers would emit
         # them as ys, copying the whole cache every step.

@@ -559,19 +559,20 @@ class ServingEngine:
                 )
         # Ring capacity. Non-speculative: prompt + generated frames + one
         # chunk of lagged-retirement slack (rows decode one surplus chunk
-        # while their last harvest is in flight). Speculative: each round
-        # consumes gamma+1 columns regardless of acceptance and a live row
-        # emits >= 1 frame per round, so residence consumes at most
-        # (gamma+1) x (max_frames + lag slack) columns — speculation
-        # trades KV capacity for sequential steps.
+        # while their last harvest is in flight). Speculative: per-row
+        # write columns REWIND past rejected proposals after each round,
+        # so a row's columns are exactly prompt + emitted keys + one
+        # transient gamma+1 block; rows reset to column 0 at admission
+        # (columns are private per row — the batch dimension separates
+        # rows) so there is no wrap. Slack: the in-flight block plus up
+        # to two lagged rounds of emissions past a row's frame budget.
+        # Keeping the cache at non-spec size keeps the per-round
+        # attention HBM read at non-spec size — the cost speculation is
+        # trying to beat.
         if draft_model is None:
             self.ring = self.max_prompt + self.max_frames + self.chunk
         else:
-            self.ring = (
-                self.max_prompt
-                + (self.gamma + 1) * (self.max_frames + 2)
-                + (self.gamma + 1)  # wrap-jump slack (blocks never straddle)
-            )
+            self.ring = self.max_prompt + self.max_frames + 3 * (self.gamma + 1)
 
         # Mesh serving: slot rows shard over 'data', KV heads over 'model'
         # (the same layout as the one-shot TP/DP paths); everything else —
@@ -633,6 +634,8 @@ class ServingEngine:
             )
             self._d_cache_k, self._d_cache_v = d_ck, d_cv
             self._d_key_valid = jnp.zeros((self.n_slots, self.ring), bool)
+            # Per-row write columns (target & draft share the layout).
+            self._spec_cols = jnp.zeros((self.n_slots,), jnp.int32)
         self._seed0 = int(seed)
         self._n_submitted = 0  # drives default per-request seeds
 
@@ -654,6 +657,7 @@ class ServingEngine:
         self.frames_decoded = 0  # real (harvested, pre-EOS) frames
         self.frames_delivered = 0  # frames in resolved waveforms
         self.requests_done = 0
+        self.spec_rounds = 0  # speculative draft/verify rounds dispatched
         self._t_first: Optional[float] = None
         self._t_last: Optional[float] = None
 
@@ -850,9 +854,14 @@ class ServingEngine:
             logits, jnp.asarray(seed_vals), jnp.asarray(min_f), jnp.asarray(temps),
             self.top_k, int(self.cfg.audio_eos),
         )
+        # Speculative mode: columns are per-row and reset at admission —
+        # the prompt occupies [0, p_group) of the row's own cache lines.
+        # Non-speculative: batch-uniform column, prompt ends at the
+        # current global write column.
+        ins_col = jnp.int32(p_group if self.draft is not None else self._col)
         self._cache_k, self._cache_v, self._key_valid = _insert_rows(
             self._cache_k, self._cache_v, self._key_valid,
-            rows_arr, pk, pv, pkv, jnp.int32(self._col),
+            rows_arr, pk, pv, pkv, ins_col,
         )
         if self.draft is not None:
             # The draft consumes the SAME prompt arrays (vocabularies are
@@ -870,8 +879,9 @@ class ServingEngine:
             )
             self._d_cache_k, self._d_cache_v, self._d_key_valid = _insert_rows(
                 self._d_cache_k, self._d_cache_v, self._d_key_valid,
-                rows_arr, dpk, dpv, dpkv, jnp.int32(self._col),
+                rows_arr, dpk, dpv, dpkv, ins_col,
             )
+            self._spec_cols = self._spec_cols.at[rows_arr].set(p_group)
         (self._last_codes, self._done, self._active_dev, self._rope_next,
          self._frames_done, self._min_frames, self._temp,
          self._codes_buf, self._seeds) = _admit_full(
@@ -1109,27 +1119,23 @@ class ServingEngine:
                      self._cache_k, self._cache_v, self._key_valid,
                      self._d_cache_k, self._d_cache_v, self._d_key_valid,
                      self._codes_buf, self._last_codes, self._done,
-                     self._rope_next, self._frames_done) = _spec_serve_round(
+                     self._spec_cols, self._rope_next,
+                     self._frames_done) = _spec_serve_round(
                         self.model.params, self.draft.params,
                         self._cache_k, self._cache_v, self._key_valid,
                         self._d_cache_k, self._d_cache_v, self._d_key_valid,
                         self._codes_buf,
                         self.cfg, self.draft.config,
-                        jnp.int32(self._col), jnp.int32(self._col),
+                        self._spec_cols,
                         self._rope_next, self._last_codes, self._done,
                         self._active_dev, self._seeds, self._temp,
                         self._frames_done, self._min_frames,
                         self.gamma, self.top_k, self.residual_mode,
                     )
                     _maybe_sync(harvest)
+                self.spec_rounds += 1
                 if self._t_first is None:
                     self._t_first = time.time()
-                # Verify blocks must never straddle the ring wrap
-                # (block_causal masks by in-block offset): jump to 0
-                # instead of wrapping mid-block.
-                self._col += self.gamma + 1
-                if self._col + self.gamma + 1 > self.ring:
-                    self._col = 0
                 prev, self._pending = self._pending, (harvest, owners)
                 if prev is not None:
                     self._harvest_one(prev)
@@ -1228,6 +1234,7 @@ class ServingEngine:
         self._codes_buf = None
         if self.draft is not None:
             self._d_cache_k = self._d_cache_v = self._d_key_valid = None
+            self._spec_cols = None
 
     def _fail_outstanding(self, error: BaseException) -> None:
         """Resolve every queued and in-flight request with ``error``."""

@@ -17,26 +17,31 @@ Design (one compiled program per round, zero host syncs):
   schedule-reproducible ``fold_in(seed, frame, tag)`` keys.
 * **Verify phase** — the target scores all proposals in ONE ``T=gamma+1``
   forward (the MXU-shaped replacement for gamma sequential target steps).
-  The verify block writes ``gamma+1`` consecutive ring columns; the
-  scheduler guarantees the block never straddles the ring wrap (it jumps
-  the write column to 0 instead), and the new ``block_causal`` mask mode
+  The verify block writes ``gamma+1`` consecutive columns at each row's
+  OWN write column, and the ``block_causal`` mask mode
   (``models.transformer``) restores in-block causality while history
-  stays ``key_valid``-gated wherever it sits in the ring.
-* **Per-row acceptance** — standard speculative sampling
+  stays ``key_valid``-gated wherever it sits.
+* **Per-row acceptance + column rewind** — standard speculative sampling
   (min(1, p/q), Leviathan et al. arXiv:2211.17192) vmapped over rows.
-  Rows desynchronize (each accepts 1..gamma+1 tokens per round); the ring
-  design absorbs this for free: rejected columns are simply never marked
-  valid, per-row RoPE/frame counters advance by each row's own acceptance
-  count, and the code log scatters at per-row logical frame positions.
-  With ``top_k=1`` the process is exact target greedy (a rejected slot
+  Rows desynchronize (each accepts 1..gamma+1 tokens per round); per-row
+  write columns absorb this: after acceptance each row REWINDS its
+  column to just past its last kept key, so rejected columns are reused
+  by the next round instead of being consumed forever. Per-row
+  RoPE/frame counters advance by each row's own acceptance count, and
+  the code log scatters at per-row logical frame positions. With
+  ``top_k=1`` the process is exact target greedy (a rejected slot
   resamples from ``norm(max(p-q,0))`` = the target argmax), so greedy
   parity vs the one-shot path is preserved.
-* **Ring capacity** — every round consumes ``gamma+1`` columns regardless
-  of acceptance, and a live row emits at least one token per round, so a
-  row's residence consumes at most ``(gamma+1) x max_frames`` columns.
-  The engine sizes the ring to that worst case (speculation trades KV
-  memory for steps — the draft/verify round replaces gamma+1 target
-  steps with one target forward + gamma+1 tiny draft steps).
+* **Cache capacity** — with rewind, a row's columns are exactly its
+  prompt plus its emitted keys plus a transient ``gamma+1`` block, so
+  the cache is sized like the non-speculative ring
+  (``max_prompt + max_frames + slack``) — NOT ``(gamma+1) x max_frames``.
+  Rows reset to column 0 at admission (columns are private to a row:
+  the batch dimension already separates rows), so there is no wrap at
+  all; the per-step attention HBM read stays the size speculation is
+  trying to beat, which is what makes the draft/verify round a net win
+  (one target forward + gamma+1 tiny draft steps replacing gamma+1
+  target steps).
 
 ``residual_mode`` follows the single-stream semantics
 (``models.qwen.speculative._spec_decode``): "strict" truncates acceptance
@@ -132,8 +137,8 @@ def _spec_serve_round(
     codes_buf,  # (B, F, nq) device-resident per-row code log
     cfg_t,  # static QwenTTSConfig (target)
     cfg_d,  # static (draft)
-    col_t,  # scalar int32: target block start column (block never wraps)
-    col_d,  # scalar int32: draft block start column
+    cols,  # (B,) int32: per-row block start column (target & draft share
+    # the layout: same prompts prefilled into both caches, same keeps)
     rope_next,  # (B,) rope position of each row's next input token
     last_codes,  # (B, nq) last emitted code vector per row
     done,  # (B,) bool
@@ -149,11 +154,13 @@ def _spec_serve_round(
     """One batched draft-propose / target-verify / accept round.
 
     Returns ``(harvest, t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
-    last_codes, done, rope_next, frames_done)`` where ``harvest`` is a
-    packed (B, 2) int32 array of ``[n_real, hit_eos]`` per row — ``n_real``
-    counts the REAL frames appended this round (EOS and pads excluded),
-    ``hit_eos`` marks rows that finished. The packed array is the only
-    per-round host fetch (lagged, like the non-speculative done bitmap).
+    last_codes, done, cols, rope_next, frames_done)`` where ``harvest``
+    is a packed (B, 2) int32 array of ``[n_real, hit_eos]`` per row —
+    ``n_real`` counts the REAL frames appended this round (EOS and pads
+    excluded), ``hit_eos`` marks rows that finished. The packed array is
+    the only per-round host fetch (lagged, like the non-speculative done
+    bitmap). ``cols`` comes back rewound per row to just past its last
+    kept key.
     """
     b = last_codes.shape[0]
     nq = cfg_t.codec.n_codebooks
@@ -166,13 +173,15 @@ def _spec_serve_round(
         d_ck, d_cv, d_kv, codes_in = carry
         x = _embed_codes(dp, codes_in)[:, None, :]
         pos = (rope_next + i)[:, None]
-        slot = col_d + i
+        slot = cols + i  # (B,) per-row write columns
         h, (d_ck, d_cv) = tfm.stack_forward(
             dp["talker"], cfg_d.talker, x, pos,
             kv_caches=(d_ck, d_cv), cache_len=slot,
             attn_mask=live[:, None], key_valid=d_kv, slot_causal=False,
         )
-        d_kv2 = d_kv.at[:, slot].set(live)
+        d_kv2 = d_kv.at[jnp.arange(b, dtype=jnp.int32), slot].set(
+            live, mode="drop"
+        )
         logits = jax.lax.dot(
             h[:, -1], dp["lm_head"], preferred_element_type=jnp.float32
         )
@@ -200,7 +209,7 @@ def _spec_serve_round(
     positions = rope_next[:, None] + jnp.arange(gamma + 1)[None, :]
     h, (t_ck, t_cv) = tfm.stack_forward(
         tp["talker"], cfg_t.talker, x, positions,
-        kv_caches=(t_ck, t_cv), cache_len=col_t,
+        kv_caches=(t_ck, t_cv), cache_len=cols,
         attn_mask=jnp.broadcast_to(live[:, None], (b, gamma + 1)),
         key_valid=t_kv, slot_causal=False, block_causal=True,
     )
@@ -307,8 +316,14 @@ def _spec_serve_round(
     # ---- 5. Commit cache validity & per-row pointers ----------------------
     keep = n_eff - truncated.astype(jnp.int32)  # cols [col, col+keep] valid
     valid_block = (idx <= keep[:, None]) & live[:, None]  # (B, gamma+1)
-    t_kv = jax.lax.dynamic_update_slice(t_kv, valid_block, (jnp.int32(0), col_t))
-    d_kv = jax.lax.dynamic_update_slice(d_kv, valid_block, (jnp.int32(0), col_d))
+    rows_b = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cols_blk = cols[:, None] + idx  # (B, gamma+1)
+    t_kv = t_kv.at[rows_b, cols_blk].set(valid_block, mode="drop")
+    d_kv = d_kv.at[rows_b, cols_blk].set(valid_block, mode="drop")
+    # Rewind: the next round's block starts right after the last kept key —
+    # rejected columns are reused, so a row's column usage equals its
+    # emitted keys (+ prompt), independent of acceptance rate.
+    cols = jnp.where(live, cols + keep + 1, cols)
 
     last_i = jnp.maximum(n_total - 1, 0)
     new_last = jnp.take_along_axis(
@@ -329,6 +344,7 @@ def _spec_serve_round(
         codes_buf,
         last_codes,
         done,
+        cols,
         rope_next,
         frames_done,
     )

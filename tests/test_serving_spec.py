@@ -113,9 +113,10 @@ class TestSpecGreedyParity:
         # High acceptance should finish in far fewer rounds than frames:
         # with gamma=3 and p==q, expect > 1.5 frames per round on average.
 
-    def test_ring_wrap_with_column_jump(self, target, draft_same):
-        """Small ring + several requests: the write column jump-wraps (a
-        verify block never straddles); parity must survive."""
+    def test_recycled_columns_reset_per_row(self, target, draft_same):
+        """One slot, several requests back-to-back: each admission resets
+        the row's write column to 0 over the previous occupant's stale
+        K/V (key_valid rebuilt from the prompt); parity must survive."""
         eng = ServingEngine(
             target, n_slots=1, max_prompt=64, max_frames=64, top_k=1,
             draft_model=draft_same, gamma=2, residual_mode="strict",
@@ -125,6 +126,23 @@ class TestSpecGreedyParity:
         for t, req in zip(TEXTS[:3], reqs):
             assert req.done()
             assert_prefix_equal(req, oneshot(target, t, 16, 64))
+
+
+class TestSpecColumnRewind:
+    def test_rewound_columns_stay_bounded(self, target, draft_other):
+        """Low-acceptance draft, 64 frames, γ=3: without post-acceptance
+        column rewind the row would consume ~(γ+1)x64 = 256 columns and
+        blow past the ring (sized prompt + frames + 3(γ+1)); with rewind
+        its final column is bounded by prompt + emitted keys + lag."""
+        eng = ServingEngine(
+            target, n_slots=1, max_prompt=64, max_frames=64, top_k=1,
+            draft_model=draft_other, gamma=3, residual_mode="strict",
+        )
+        req = eng.submit(TEXTS[0], min_frames=48, max_frames=64)
+        eng.run_until_idle()
+        cols = int(np.asarray(eng._spec_cols)[0])
+        assert cols <= eng.ring
+        assert cols <= 64 + req.n_frames + 3 * (eng.gamma + 1)
 
 
 class TestSpecSampled:
