@@ -261,6 +261,8 @@ def _vocode_masked(params, cfg: ChatterboxConfig, toks_dev, end: int, t: int):
 class ChatterboxModel:
     """Voice-cloning TTS with conditionals caching and CFG decoding."""
 
+    mesh = None  # single-chip decode (API symmetry with QwenTTSModel)
+
     def __init__(
         self,
         cfg: ChatterboxConfig,
@@ -358,6 +360,14 @@ class ChatterboxModel:
             path, self.params, family="chatterbox", preset=preset,
             quantization=self.quantization,
         )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.sr
+
+    @property
+    def config(self) -> ChatterboxConfig:
+        return self.cfg
 
     @property
     def speaker_encoder(self):

@@ -636,6 +636,11 @@ class ServingEngine:
             self._d_key_valid = jnp.zeros((self.n_slots, self.ring), bool)
             # Per-row write columns (target & draft share the layout).
             self._spec_cols = jnp.zeros((self.n_slots,), jnp.int32)
+        self._init_scheduling(seed, max_queue)
+
+    def _init_scheduling(self, seed: int, max_queue: Optional[int]) -> None:
+        """Host-side scheduling state shared by every engine flavor
+        (queue, slots, locks, stats) — model-agnostic."""
         self._seed0 = int(seed)
         self._n_submitted = 0  # drives default per-request seeds
 
@@ -698,11 +703,7 @@ class ServingEngine:
         engine seed and the submission index.
         """
         if seed is None:
-            with self._lock:
-                idx = self._n_submitted
-                self._n_submitted += 1
-            # Deterministic, collision-free across one engine's lifetime.
-            seed = (self._seed0 * 1_000_003 + idx) & 0x7FFFFFFF
+            seed = self._default_seed()
         if max_frames is None:
             max_frames = int(np.clip(len(text) * 1.0 + 50, self.chunk, self.max_frames))
         max_frames = min(_round_up(int(max_frames), self.chunk), self.max_frames)
@@ -720,6 +721,19 @@ class ServingEngine:
             expires_s=expires_s,
             seed=seed,
         )
+        return self._enqueue(req)
+
+    def _default_seed(self) -> int:
+        """Deterministic, collision-free per-submission seed."""
+        with self._lock:
+            idx = self._n_submitted
+            self._n_submitted += 1
+        return (self._seed0 * 1_000_003 + idx) & 0x7FFFFFFF
+
+    def _enqueue(self, req: ServeRequest) -> ServeRequest:
+        """Priority-FIFO insert + wake the serving thread (shared by every
+        engine flavor; the request must be fully initialized first)."""
+        priority = req.priority
         with self._wake:
             if self._loop_error is not None:
                 raise RuntimeError(
@@ -945,7 +959,9 @@ class ServingEngine:
                 total = max(min(total, req.max_frames), 1)
                 safe = total if finished else max(total - self.stream_context, 0)
                 if safe > slot.emitted:
-                    lo = max(slot.emitted - self.stream_context, 0)
+                    lo = self._widen_lo(
+                        max(slot.emitted - self.stream_context, 0), total
+                    )
                     emits.append((row, lo, total, slot.emitted))
                     slot.emitted = safe
             if finished:
@@ -993,7 +1009,9 @@ class ServingEngine:
                 total = max(min(total, req.max_frames), 1)
                 safe = total if finished else max(total - self.stream_context, 0)
                 if safe > slot.emitted:
-                    lo = max(slot.emitted - self.stream_context, 0)
+                    lo = self._widen_lo(
+                        max(slot.emitted - self.stream_context, 0), total
+                    )
                     emits.append((row, lo, total, slot.emitted))
                     slot.emitted = safe
             if finished:
@@ -1014,7 +1032,6 @@ class ServingEngine:
         emitted sample (same property ``stream_chunks`` golden-tests
         against the one-shot path).
         """
-        hop = self.cfg.codec.hop
         by_len: Dict[int, List[Tuple[int, int, int, int]]] = {}
         for row, lo, hi, emit_from in emits:
             w = _round_up(hi - lo, self.chunk)
@@ -1024,20 +1041,35 @@ class ServingEngine:
                 rows = jnp.asarray(np.array([g[0] for g in group], np.int32))
                 los = jnp.asarray(np.array([g[1] for g in group], np.int32))
                 ends = jnp.asarray(np.array([g[2] for g in group], np.int32))
-                wav = _vocode_windows(
-                    self.model.params, self.cfg, self._codes_buf, rows, los, ends, w
-                )
+                wav = self._stream_vocode(rows, los, ends, w)
                 for b, (row, lo, hi, emit_from) in enumerate(group):
                     slot = self._slots[row]
                     req = slot.req
                     emit_to = slot.emitted  # set before the dispatch
-                    piece = np.asarray(
-                        wav[b, (emit_from - lo) * hop : (emit_to - lo) * hop]
-                    )
+                    piece = self._stream_piece(wav[b], lo, hi, emit_from, emit_to)
                     slot.pieces.append(piece)
                     if req.t_first_audio is None:
                         req.t_first_audio = time.time()  # after the fetch
                     req._chunk_q.put((piece, self.model.sample_rate))
+
+    def _widen_lo(self, lo: int, hi: int) -> int:
+        """Model hook: widen a streaming window's start frame (e.g. the
+        watermark envelope needs a minimum sample span). Default: as-is."""
+        return lo
+
+    def _stream_vocode(self, rows, los, ends, w: int):
+        """Model hook: vocode per-row sliding windows from the device log."""
+        return _vocode_windows(
+            self.model.params, self.cfg, self._codes_buf, rows, los, ends, w
+        )
+
+    def _stream_piece(
+        self, wav_row, lo: int, hi: int, emit_from: int, emit_to: int
+    ):
+        """Model hook: extract (and fetch) one emitted piece from a vocoded
+        window covering frames ``[lo, hi)``."""
+        hop = self.cfg.codec.hop
+        return np.asarray(wav_row[(emit_from - lo) * hop : (emit_to - lo) * hop])
 
     def _retire(self, rows: List[int]) -> None:
         """Trim and (bucket-)vocode finished rows straight from the device
@@ -1084,24 +1116,84 @@ class ServingEngine:
             t = _round_up(end, self.chunk)
             by_len.setdefault(t, []).append((req, row, end))
 
-        hop = self.cfg.codec.hop
         with profiling.stage("serve/retire_vocode"):
             for t, group in by_len.items():
                 rows_arr = jnp.asarray(np.array([g[1] for g in group], np.int32))
                 ends_arr = jnp.asarray(np.array([g[2] for g in group], np.int32))
-                wav, codes_masked = _vocode_rows(
-                    self.model.params, self.cfg, self._codes_buf,
-                    rows_arr, ends_arr, t,
-                )
+                wav, codes_masked = self._retire_vocode(rows_arr, ends_arr, t)
                 _maybe_sync(wav)
                 for b, (req, _row, end) in enumerate(group):
                     req._codes_ref = (codes_masked, b, end)
-                    req.wav = wav[b, : end * hop]
+                    req.wav = self._finish_wav(wav[b], end)
                     req.sample_rate = self.model.sample_rate
                     self.requests_done += 1
                     req._resolve()
 
+    def _retire_vocode(self, rows_arr, ends_arr, t: int):
+        """Model hook: vocode retiring rows straight from the device log;
+        returns (waveforms (G, t*hop), masked code group for lazy
+        ``ServeRequest.codes`` fetches)."""
+        return _vocode_rows(
+            self.model.params, self.cfg, self._codes_buf, rows_arr, ends_arr, t
+        )
+
+    def _finish_wav(self, wav_row, end: int):
+        """Model hook: final per-request waveform from its vocoded row
+        (stays a device array until the caller fetches it)."""
+        return wav_row[: end * self.cfg.codec.hop]
+
     # -- main loop ----------------------------------------------------------
+
+    def _dispatch(self):
+        """Model hook: dispatch ONE decode round over the slot batch and
+        return the lagged-harvest payload (a small device array the host
+        fetches one round later)."""
+        if self.draft is not None:
+            from .serving_spec import _spec_serve_round
+
+            (harvest,
+             self._cache_k, self._cache_v, self._key_valid,
+             self._d_cache_k, self._d_cache_v, self._d_key_valid,
+             self._codes_buf, self._last_codes, self._done,
+             self._spec_cols, self._rope_next,
+             self._frames_done) = _spec_serve_round(
+                self.model.params, self.draft.params,
+                self._cache_k, self._cache_v, self._key_valid,
+                self._d_cache_k, self._d_cache_v, self._d_key_valid,
+                self._codes_buf,
+                self.cfg, self.draft.config,
+                self._spec_cols,
+                self._rope_next, self._last_codes, self._done,
+                self._active_dev, self._seeds, self._temp,
+                self._frames_done, self._min_frames,
+                self.gamma, self.top_k, self.residual_mode,
+            )
+            self.spec_rounds += 1
+            return harvest
+        (done_chunk, self._cache_k, self._cache_v,
+         self._key_valid, self._codes_buf, self._last_codes,
+         self._done,
+         self._rope_next, self._frames_done) = (
+            _serve_decode_chunk(
+                self.model.params,
+                self._cache_k, self._cache_v, self._key_valid,
+                self._codes_buf,
+                self.cfg,
+                jnp.int32(self._col),
+                self._rope_next,
+                self._last_codes,
+                self._done,
+                self._active_dev,
+                self._seeds,
+                self._temp,
+                self._frames_done,
+                self._min_frames,
+                self.chunk,
+                self.top_k,
+            )
+        )
+        self._col = (self._col + self.chunk) % self.ring
+        return done_chunk
 
     def step(self) -> bool:
         """One scheduler iteration: admit → dispatch a chunk → harvest the
@@ -1111,64 +1203,12 @@ class ServingEngine:
             self._admit()
         if self._active.any():
             owners = [self._slots[i].req for i in range(self.n_slots)]
-            if self.draft is not None:
-                from .serving_spec import _spec_serve_round
-
-                with profiling.stage("serve/dispatch"):
-                    (harvest,
-                     self._cache_k, self._cache_v, self._key_valid,
-                     self._d_cache_k, self._d_cache_v, self._d_key_valid,
-                     self._codes_buf, self._last_codes, self._done,
-                     self._spec_cols, self._rope_next,
-                     self._frames_done) = _spec_serve_round(
-                        self.model.params, self.draft.params,
-                        self._cache_k, self._cache_v, self._key_valid,
-                        self._d_cache_k, self._d_cache_v, self._d_key_valid,
-                        self._codes_buf,
-                        self.cfg, self.draft.config,
-                        self._spec_cols,
-                        self._rope_next, self._last_codes, self._done,
-                        self._active_dev, self._seeds, self._temp,
-                        self._frames_done, self._min_frames,
-                        self.gamma, self.top_k, self.residual_mode,
-                    )
-                    _maybe_sync(harvest)
-                self.spec_rounds += 1
-                if self._t_first is None:
-                    self._t_first = time.time()
-                prev, self._pending = self._pending, (harvest, owners)
-                if prev is not None:
-                    self._harvest_one(prev)
-                self._t_last = time.time()
-                return True
             with profiling.stage("serve/dispatch"):
-                (done_chunk, self._cache_k, self._cache_v,
-                 self._key_valid, self._codes_buf, self._last_codes,
-                 self._done,
-                 self._rope_next, self._frames_done) = (
-                    _serve_decode_chunk(
-                        self.model.params,
-                        self._cache_k, self._cache_v, self._key_valid,
-                        self._codes_buf,
-                        self.cfg,
-                        jnp.int32(self._col),
-                        self._rope_next,
-                        self._last_codes,
-                        self._done,
-                        self._active_dev,
-                        self._seeds,
-                        self._temp,
-                        self._frames_done,
-                        self._min_frames,
-                        self.chunk,
-                        self.top_k,
-                    )
-                )
-                _maybe_sync(done_chunk)
+                payload = self._dispatch()
+                _maybe_sync(payload)
             if self._t_first is None:
                 self._t_first = time.time()
-            self._col = (self._col + self.chunk) % self.ring
-            prev, self._pending = self._pending, (done_chunk, owners)
+            prev, self._pending = self._pending, (payload, owners)
             if prev is not None:
                 self._harvest_one(prev)
             self._t_last = time.time()
