@@ -33,6 +33,7 @@ from ...utils.tokenizer import load_tokenizer
 from .. import transformer as tfm
 from ..qwen import codec as codec_lib
 from ..qwen.config import CodecConfig
+from ..qwen.model import _derive_row_seeds, _sample_token_seeded
 
 logger = logging.getLogger(__name__)
 
@@ -163,37 +164,38 @@ def _prefill(
     return logits, ck, cv, key_valid
 
 
-def _cfg_sample(logits2b, rng, temperature, top_k, cfg_weight):
+def _cfg_sample(logits2b, seeds, frames, temperature, top_k, cfg_weight):
     """logits2b: (2B, V) rows [cond..., uncond...] → sampled (B,) tokens.
 
     Classifier-free-guidance mix follows the upstream chatterbox semantics
     ``cond + w * (cond - uncond)``: w=0 disables guidance (pure
     conditional) and larger w extrapolates away from the unconditional
-    stream.
+    stream. Sampling noise is a pure function of ``(seeds[i], frames[i])``
+    (see ``qwen.model._sample_token_seeded``) — schedule-reproducible, so
+    a request decoded one-shot and the same request decoded inside the
+    serving slot batch draw IDENTICAL tokens given the same per-request
+    seed. ``temperature`` / ``cfg_weight`` may be scalars or (B,) arrays.
     """
     b2 = logits2b.shape[0]
     b = b2 // 2
     cond, uncond = logits2b[:b], logits2b[b:]
-    mixed = cond + cfg_weight * (cond - uncond)
-    mixed = mixed / jnp.maximum(temperature, 1e-5)
-    vals, idxs = jax.lax.top_k(mixed, top_k)
-    g = jax.random.gumbel(rng, vals.shape)
-    choice = jnp.argmax(vals + g, axis=-1)
-    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
+    w = jnp.broadcast_to(jnp.asarray(cfg_weight, jnp.float32), (b,))[:, None]
+    mixed = cond + w * (cond - uncond)
+    return _sample_token_seeded(mixed, seeds, frames, temperature, top_k)
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "top_k"))
 def _decode_chunk(
     params, cfg: ChatterboxConfig,
     cache_k, cache_v, key_valid,
-    slot0, rope_base, last_tok, done, rng,
+    slot0, rope_base, last_tok, done, seeds,
     temperature, cfg_weight, step_base, min_new, steps: int, top_k: int,
 ):
     b2 = key_valid.shape[0]
     b = b2 // 2
 
     def step(carry, t):
-        cache_k, cache_v, key_valid, last_tok, done, rng = carry
+        cache_k, cache_v, key_valid, last_tok, done = carry
         # Same sampled token feeds both cond and uncond rows
         tok2b = jnp.concatenate([last_tok, last_tok])
         x = params["speech_embed"][tok2b][:, None, :]
@@ -211,20 +213,20 @@ def _decode_chunk(
         logits = jnp.where(
             suppress, logits.at[:, cfg.speech_eos].set(-1e30), logits
         )
-        rng, k = jax.random.split(rng)
-        tok = _cfg_sample(logits, k, temperature, top_k, cfg_weight)
+        frames = jnp.broadcast_to(step_base + t, (b,))
+        tok = _cfg_sample(logits, seeds, frames, temperature, top_k, cfg_weight)
         newly_done = tok == cfg.speech_eos
         tok = jnp.where(done, cfg.speech_pad, tok)
         done = done | newly_done
-        return (cache_k, cache_v, key_valid, tok, done, rng), (tok, done)
+        return (cache_k, cache_v, key_valid, tok, done), (tok, done)
 
-    carry0 = (cache_k, cache_v, key_valid, last_tok, done, rng)
+    carry0 = (cache_k, cache_v, key_valid, last_tok, done)
     carry, (toks, dones) = jax.lax.scan(step, carry0, jnp.arange(steps))
-    cache_k, cache_v, key_valid, last_tok, done, rng = carry
+    cache_k, cache_v, key_valid, last_tok, done = carry
     return (
         jnp.transpose(toks, (1, 0)),
         jnp.transpose(dones, (1, 0)),
-        cache_k, cache_v, key_valid, last_tok, done, rng,
+        cache_k, cache_v, key_valid, last_tok, done,
     )
 
 
@@ -395,6 +397,7 @@ class ChatterboxModel:
         min_new_tokens: int,
         rng,
         candidates: int = 1,
+        seeds=None,
     ):
         """Prompt assembly + prefill + first sampled token.
 
@@ -404,10 +407,13 @@ class ChatterboxModel:
 
         ``candidates > 1`` replicates the prompt into k conditional + k
         unconditional rows: one CFG batch decodes k independent samples of
-        the same text (per-row RNG draws differ), the TPU-native way to
-        run the provider's validation retry loop — k retry iterations for
-        roughly the cost of one at these batch sizes (the decode step is
-        weight-read-bound).
+        the same text (per-row sampling seeds differ), the TPU-native way
+        to run the provider's validation retry loop — k retry iterations
+        for roughly the cost of one at these batch sizes (the decode step
+        is weight-read-bound).
+
+        ``seeds`` (one per candidate) pins the schedule-reproducible
+        per-row sampling streams; they default to draws from ``rng``.
         """
         cfg = self.cfg
         k = int(candidates)
@@ -465,16 +471,24 @@ class ChatterboxModel:
             jnp.asarray(rope_pos), jnp.asarray(attn_mask),
             cache_k, cache_v, key_valid,
         )
-        rng, k0 = jax.random.split(rng)
+        if seeds is None:
+            seeds = _derive_row_seeds(rng, k)
+        else:
+            if len(seeds) != k:
+                raise ValueError(f"seeds has {len(seeds)} entries for {k} candidates")
+            seeds = jnp.asarray(np.asarray(seeds, np.int32))
         if min_new_tokens > 0:
             logits = logits.at[:, cfg.speech_eos].set(-1e30)
-        tok0 = _cfg_sample(logits, k0, jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight))
+        tok0 = _cfg_sample(
+            logits, seeds, jnp.zeros((k,), jnp.int32),
+            jnp.float32(temperature), cfg.top_k, jnp.float32(cfg_weight),
+        )
         done = tok0 == cfg.speech_eos
         return {
             "cache_k": cache_k, "cache_v": cache_v, "key_valid": key_valid,
             "tok0": tok0, "done": done,
             "rope_base": jnp.asarray(lens, jnp.int32),
-            "p": p, "n_chunks": n_chunks, "rng": rng,
+            "p": p, "n_chunks": n_chunks, "seeds": seeds,
         }
 
     def generate(
@@ -488,12 +502,17 @@ class ChatterboxModel:
         min_new_tokens: int = 0,
         rng=None,
         cancel_check=None,
+        seed: Optional[int] = None,
     ):
         """Synthesize one text; returns a 1-D waveform (jax array).
 
         ``min_new_tokens`` masks EOS for the first N tokens — a
         minimum-duration floor (HF-generation-style ``min_new_tokens``;
         also keeps random-weight throughput benchmarks honest).
+
+        ``seed`` pins the schedule-reproducible per-frame sampling stream
+        (noise = f(seed, frame index)); a serving-engine request with the
+        same seed draws identical tokens. Defaults to a draw from ``rng``.
         """
         cfg = self.cfg
         if rng is None:
@@ -502,6 +521,7 @@ class ChatterboxModel:
         st = self._start_decode(
             text, audio_prompt_path, temperature, cfg_weight,
             max_new_tokens, max_cache_len, min_new_tokens, rng,
+            seeds=None if seed is None else [seed],
         )
         toks_dev, done_np = self._decode_all(
             st, temperature, cfg_weight, min_new_tokens, cancel_check
@@ -530,7 +550,7 @@ class ChatterboxModel:
         """
         cfg = self.cfg
         cache_k, cache_v, key_valid = st["cache_k"], st["cache_v"], st["key_valid"]
-        tok0, done, rng = st["tok0"], st["done"], st["rng"]
+        tok0, done, seeds = st["tok0"], st["done"], st["seeds"]
         rope_base, p, n_chunks = st["rope_base"], st["p"], st["n_chunks"]
 
         all_toks = [tok0[:, None]]
@@ -542,9 +562,9 @@ class ChatterboxModel:
         for _ in range(n_chunks):
             if cancel_check is not None:
                 cancel_check()
-            (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
+            (toks, dones, cache_k, cache_v, key_valid, last_tok, done) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
-                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, seeds,
                 jnp.float32(temperature), jnp.float32(cfg_weight),
                 slot0 - jnp.int32(p) + 1, jnp.int32(min_new_tokens),
                 CHUNK, cfg.top_k,
@@ -575,6 +595,7 @@ class ChatterboxModel:
         min_new_tokens: int = 0,
         rng=None,
         cancel_check=None,
+        seeds=None,
     ):
         """Synthesize ``candidates`` independent samples of one text in a
         single CFG batch (2k rows); returns a list of 1-D waveforms.
@@ -585,6 +606,9 @@ class ChatterboxModel:
         ``max_iterations=50``): at these batch sizes the decode step is
         weight-read-bound, so k candidates cost roughly one iteration's
         wall — the validator then picks the first passing sample.
+
+        ``seeds`` (one per candidate) pins each candidate's sampling
+        stream; candidate ``i`` reproduces ``generate(..., seed=seeds[i])``.
         """
         cfg = self.cfg
         if rng is None:
@@ -594,7 +618,7 @@ class ChatterboxModel:
         st = self._start_decode(
             text, audio_prompt_path, temperature, cfg_weight,
             max_new_tokens, max_cache_len, min_new_tokens, rng,
-            candidates=k,
+            candidates=k, seeds=seeds,
         )
         toks_dev, done_np = self._decode_all(
             st, temperature, cfg_weight, min_new_tokens, cancel_check
@@ -631,6 +655,7 @@ class ChatterboxModel:
         rng=None,
         cancel_check=None,
         context_frames: int = 32,
+        seed: Optional[int] = None,
     ):
         """Incremental synthesis: yields waveform pieces per decode chunk.
 
@@ -653,9 +678,10 @@ class ChatterboxModel:
         st = self._start_decode(
             text, audio_prompt_path, temperature, cfg_weight,
             max_new_tokens, max_cache_len, min_new_tokens, rng,
+            seeds=None if seed is None else [seed],
         )
         cache_k, cache_v, key_valid = st["cache_k"], st["cache_v"], st["key_valid"]
-        last_tok, done, rng = st["tok0"], st["done"], st["rng"]
+        last_tok, done, seeds = st["tok0"], st["done"], st["seeds"]
         rope_base, p, n_chunks = st["rope_base"], st["p"], st["n_chunks"]
 
         hop = cfg.codec.hop
@@ -683,9 +709,9 @@ class ChatterboxModel:
                 break
             if cancel_check is not None:
                 cancel_check()
-            (toks, dones, cache_k, cache_v, key_valid, last_tok, done, rng) = _decode_chunk(
+            (toks, dones, cache_k, cache_v, key_valid, last_tok, done) = _decode_chunk(
                 self.params, cfg, cache_k, cache_v, key_valid,
-                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, rng,
+                slot0, rope_base + (slot0 - jnp.int32(p)), last_tok, done, seeds,
                 jnp.float32(temperature), jnp.float32(cfg_weight),
                 slot0 - jnp.int32(p) + 1, jnp.int32(min_new_tokens),
                 CHUNK, cfg.top_k,
