@@ -1391,7 +1391,10 @@ class BaseTTS(ABC):
 
         logger.info(f"Generating audio for {len(mapped_texts)} text item(s)...")
 
-        if self.supports_batch_generation:
+        # Serving-backed providers take the batched-items path too: its
+        # segment generation goes through _serving_submit (the slot batch),
+        # never through a list-mode _generate_audio call.
+        if self.supports_batch_generation or self.supports_serving_generation:
             return self._run_pipeline_batched_items(
                 mapped_texts, token, progress_callback
             )

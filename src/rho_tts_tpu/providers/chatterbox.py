@@ -51,6 +51,17 @@ class ChatterboxTTS(BaseTTS):
             sample — collapsing the reference's one-generation-per-retry
             chain (``base_tts.py:770-898``) by up to k×. Each round
             consumes k of ``max_iterations``.
+        serving: Route pipeline segment generation through a
+            continuous-batching :class:`~rho_tts_tpu.serving_cb.
+            ChatterboxServingEngine` — validation-retried segments rejoin
+            the in-flight slot batch instead of running the lockstep
+            candidate loop. This is the TPU-native answer to the
+            reference's retry-heaviest workload (``max_iterations=50``
+            one generation at a time, reference ``chatterbox.py:53``).
+        serving_slots: Concurrent requests in that engine's slot batch
+            (transformer rows = 2× for the CFG pairs; default 4).
+        serving_max_prompt: Engine prompt-token cap (default 128).
+        serving_max_frames: Engine per-request frame cap (default 1024).
     """
 
     MAX_MODEL_CHARS = 3000
@@ -75,6 +86,10 @@ class ChatterboxTTS(BaseTTS):
         model_path: Optional[str] = None,
         min_audio_sec: float = 0.0,
         candidates_per_iteration: int = 1,
+        serving: bool = False,
+        serving_slots: int = 4,
+        serving_max_prompt: int = 128,
+        serving_max_frames: int = 1024,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -101,6 +116,16 @@ class ChatterboxTTS(BaseTTS):
         if candidates_per_iteration < 1:
             raise ValueError("candidates_per_iteration must be >= 1")
         self.candidates_per_iteration = int(candidates_per_iteration)
+
+        #: Serving mode: pipeline segments submit to a shared
+        #: ChatterboxServingEngine slot batch and validate as they retire
+        #: (engine ``_generate_segments_served``); failed segments rejoin
+        #: the batch immediately — no lockstep iteration barrier.
+        self.supports_serving_generation = bool(serving)
+        self.serving_slots = serving_slots
+        self.serving_max_prompt = serving_max_prompt
+        self.serving_max_frames = serving_max_frames
+        self._serving = None
 
         # The model loads eagerly: this provider's workflow is "many fast
         # regenerations of one segment", so the first generate() must not
@@ -166,6 +191,41 @@ class ChatterboxTTS(BaseTTS):
             text, k, audio_prompt_path=None, rng=self.next_rng(), **gen_kwargs
         )
 
+    def _serving_engine(self):
+        """Lazily build + start the continuous-batching serving engine."""
+        if self._serving is None:
+            from ..serving_cb import ChatterboxServingEngine
+
+            self._serving = ChatterboxServingEngine(
+                self.model,
+                n_slots=self.serving_slots,
+                max_prompt=self.serving_max_prompt,
+                max_frames=self.serving_max_frames,
+                seed=self.seed,
+            )
+            self._serving.start()
+        return self._serving
+
+    def _serving_submit(self, text: str):
+        """Submit one pipeline segment to the serving engine.
+
+        Conditionals parity with :meth:`_generate_audio`: the cached
+        reference-voice embedding is primed on the model, and the engine's
+        admission falls back to it (``serving_cb._admit_build``)."""
+        self._prime_conditionals()
+        eng = self._serving_engine()
+        min_frames = int(self.min_audio_sec * self.model.cfg.codec.frame_rate)
+        max_frames = None
+        if self.model.cfg.max_new_tokens is not None:  # "faster" decode cap
+            max_frames = self.model.cfg.max_new_tokens
+        return eng.submit(
+            text,
+            cfg_weight=self.cfg_weight,
+            temperature=self.temperature,
+            min_frames=min_frames,
+            max_frames=max_frames,
+        )
+
     def _stream_audio_chunks(self, text: str, cancellation_token=None):
         """Chunked streaming via the model's sliding-window vocoder.
 
@@ -185,8 +245,11 @@ class ChatterboxTTS(BaseTTS):
         return (wav for wav, _sr in gen)
 
     def close(self) -> None:
-        """Release model parameters and conditionals cache."""
+        """Release model parameters, serving engine, and conditionals."""
         super().close()
+        if self._serving is not None:
+            self._serving.close()
+            self._serving = None
         self.model = None
         self._prompt_cache.clear()
         self._free_device_memory()

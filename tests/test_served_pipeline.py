@@ -276,3 +276,75 @@ def test_qwen_serving_pipeline_end_to_end(tmp_path):
         assert tts._serving.requests_done >= 2
     finally:
         tts.close()
+
+
+def test_chatterbox_serving_pipeline_end_to_end(tmp_path):
+    """ChatterboxTTS(serving=True): pipeline segments ride the CFG-pair
+    slot batch (serving_cb.ChatterboxServingEngine) and validate as they
+    retire — the TPU-native replacement for the reference's
+    one-generation-per-retry chatterbox loop (max_iterations=50,
+    reference chatterbox.py:53)."""
+    from rho_tts_tpu.providers.chatterbox import ChatterboxTTS
+
+    tts = ChatterboxTTS(
+        device="cpu",
+        implementation="tiny",
+        max_iterations=1,
+        max_chars_per_segment=20,
+        min_audio_sec=0.05,
+        serving=True,
+        serving_slots=2,
+        serving_max_prompt=64,
+        serving_max_frames=128,
+    )
+    try:
+        out = str(tmp_path / "out.wav")
+        result = tts.generate("Hello there. Nice to meet you", out)
+        assert result is not None
+        assert result.segments_count == 2
+        assert result.duration_sec > 0
+        assert tts._serving is not None
+        assert tts._serving.requests_done >= 2
+    finally:
+        tts.close()
+
+
+def test_chatterbox_serving_retry_rejoins_batch(tmp_path):
+    """A drift-failing segment resubmits to the slot batch and the retry
+    is accepted — exercising slot recycling through the provider path."""
+    from rho_tts_tpu.providers.chatterbox import ChatterboxTTS
+
+    tts = ChatterboxTTS(
+        device="cpu",
+        implementation="tiny",
+        max_iterations=3,
+        max_chars_per_segment=40,
+        min_audio_sec=0.05,
+        serving=True,
+        serving_slots=2,
+        serving_max_prompt=64,
+        serving_max_frames=128,
+        text_similarity_threshold=0.0,
+    )
+    tts.voice_cloning = True  # enable the drift gate (reference semantics)
+    calls = {"n": 0}
+
+    def fake_drift(auds, sr):
+        calls["n"] += 1
+        fail_first = calls["n"] == 1
+        return [(0.9, False) if fail_first else (0.05, True)] * len(auds)
+
+    try:
+        with patch.object(
+            tts, "_validate_accent_drift_batch", side_effect=fake_drift
+        ), patch.object(
+            tts, "_validate_text_match_batch",
+            side_effect=lambda auds, sr, txts: [(True, 1.0, None)] * len(auds),
+        ):
+            out = str(tmp_path / "out.wav")
+            result = tts.generate("One single segment here", out)
+        assert result is not None
+        assert calls["n"] >= 2  # first attempt failed, retry validated
+        assert tts._serving.requests_done >= 2  # resubmission joined the batch
+    finally:
+        tts.close()
