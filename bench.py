@@ -811,6 +811,15 @@ def bench_chatterbox():
     retry candidates per round in one CFG batch
     (``candidates_per_iteration``), the TPU-native form of that chain:
     A/B k=1 vs k=4 at the same BENCH_CB_FAILS to measure the win.
+
+    BENCH_CB_SEGMENTS=m widens the workload to an m-segment text (one
+    sentence per segment), and BENCH_CB_SERVE=1 routes it through the
+    CFG-pair ChatterboxServingEngine (``serving=True``,
+    BENCH_SLOTS request slots, default 4): failed segments rejoin the
+    in-flight slot batch instead of regenerating one at a time. The
+    forced-failure count is identical across arms (first n validations
+    of the generate() call), so lockstep / candidates / serving all pay
+    n extra segment generations — only the scheduling differs.
     """
     import numpy as np
 
@@ -821,6 +830,9 @@ def bench_chatterbox():
     quant = None if quant in ("", "none", "bf16") else quant
     fails = int(os.environ.get("BENCH_CB_FAILS", "0"))
     cand = int(os.environ.get("BENCH_CAND", "1"))
+    nseg = int(os.environ.get("BENCH_CB_SEGMENTS", "1"))
+    serve = os.environ.get("BENCH_CB_SERVE", "0") == "1"
+    slots = int(os.environ.get("BENCH_SLOTS", "4"))
     # Default the iteration budget high enough that the candidate path can
     # actually engage (the engine requires max_iterations > 1 and takes
     # k = min(cand, budget) in round 1).
@@ -879,17 +891,34 @@ def bench_chatterbox():
 
         provider_cls = FailingChatterboxTTS
 
+    serve_kw = (
+        dict(
+            serving=True,
+            serving_slots=slots,
+            serving_max_prompt=128,
+            serving_max_frames=256,
+        )
+        if serve
+        else {}
+    )
     tts = provider_cls(
         implementation=os.environ.get("BENCH_CB_IMPL", "standard"),
         reference_audio=ref,
         max_iterations=iters,
-        max_chars_per_segment=400,
+        max_chars_per_segment=400 if nseg == 1 else 80,
         quantization=quant,
         min_audio_sec=7.0,  # random weights would otherwise EOS early
         candidates_per_iteration=cand,
+        **serve_kw,
     )
     tts.trim_silence = False  # random-weight output sits under the trim gate
-    text = "A single segment regenerated with the full validation loop enabled."
+    if nseg == 1:
+        text = "A single segment regenerated with the full validation loop enabled."
+    else:
+        text = " ".join(
+            f"Sentence number {i} of the retry gauntlet runs the whole validation loop."
+            for i in range(nseg)
+        )
 
     tts.generate(text)  # warmup/compile
     # Median of 3 steady-state runs: the relay's round-trip latency varies
@@ -905,12 +934,17 @@ def bench_chatterbox():
     log(f"chatterbox: {result.duration_sec if result else 0:.1f} s audio in {wall:.1f} s → RTF {rtf:.1f}"
         f" (runs: {', '.join(f'{r:.1f}' for r, _, _ in rtfs)})")
     suffix = ""
+    if nseg > 1:
+        suffix += f"_segs{nseg}"
     if fails > 0:
         suffix += f"_fails{fails}"
     if cand > 1:
         suffix += f"_cand{cand}"
+    if serve:
+        suffix += f"_serve{slots}"
+    label = "single_segment" if nseg == 1 else "pipeline"
     print(json.dumps({
-        "metric": f"chatterbox_single_segment{suffix}_rtf_per_chip",
+        "metric": f"chatterbox_{label}{suffix}_rtf_per_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),

@@ -33,6 +33,100 @@ _NON_TALKER = (
 )
 
 
+# Namespace markers that select codec (vocoder/encoder/quantizer) tensors
+# inside a multi-component checkpoint.
+_CODEC_NS = ("codec.", "token2wav.", "code2wav.", "vocoder.")
+
+
+def _fit_conv(value, ref_shape):
+    """Adapt a conv kernel to our (K, Cin, Cout) HIO layout.
+
+    Accepts our native layout, torch ``Conv1d`` (Cout, Cin, K), and torch
+    ``ConvTranspose1d`` (Cin, Cout, K). Returns None when no permutation
+    matches (the caller logs and keeps the random leaf)."""
+    import numpy as np
+
+    v = np.asarray(value)
+    if v.ndim != len(ref_shape):
+        return None
+    if tuple(v.shape) == tuple(ref_shape):
+        return v
+    for perm in ((2, 1, 0), (2, 0, 1)):
+        if tuple(np.transpose(v, perm).shape) == tuple(ref_shape):
+            return np.ascontiguousarray(np.transpose(v, perm))
+    return None
+
+
+def _codec_leaves(codec_params):
+    """(tree path, canonical tensor suffix) for every codec conv/codebook.
+
+    The suffix naming mirrors the tree itself (``decoder.ups.0.weight``…)
+    — the layout ``models.qwen.export``-produced HF dirs use, and a
+    close match for HiFiGAN-family vocoder checkpoints."""
+    leaves = []
+    for branch, updown in (("decoder", "ups"), ("encoder", "downs")):
+        b = codec_params[branch]
+        leaves.append((("codec", branch, "conv_pre"), f"{branch}.conv_pre.weight"))
+        leaves.append((("codec", branch, "conv_post"), f"{branch}.conv_post.weight"))
+        for i in range(len(b[updown])):
+            leaves.append(
+                ((("codec", branch, updown, i)), f"{branch}.{updown}.{i}.weight")
+            )
+            rb = b["resblocks"][i]
+            for j in range(len(rb["convs_d"])):
+                leaves.append((
+                    ("codec", branch, "resblocks", i, "convs_d", j),
+                    f"{branch}.resblocks.{i}.convs_d.{j}.weight",
+                ))
+                leaves.append((
+                    ("codec", branch, "resblocks", i, "convs_p", j),
+                    f"{branch}.resblocks.{i}.convs_p.{j}.weight",
+                ))
+    return leaves
+
+
+def _map_codec(tensors, params, put) -> None:
+    """Map codec (encoder/RVQ/decoder) tensors from their own namespace.
+
+    Judged against the reference's opaque codec dependency
+    (``src/rho_tts/providers/qwen.py:218-266`` calls ``qwen_tts`` which
+    vocodes internally): here the codec is first-party, so its weights
+    ride the same HF-safetensors path as the talker. Unmatched leaves
+    keep their random init (logged by ``load_checkpoint``'s counter)."""
+    import numpy as np
+
+    cod = scope(tensors, include=_CODEC_NS)
+    if not cod:
+        return
+    for path, suffix in _codec_leaves(params["codec"]):
+        t = find(cod, suffix)
+        if t is None:
+            continue
+        node = params
+        for p in path[:-1]:
+            node = node[p]
+        fitted = _fit_conv(t, np.shape(node[path[-1]]))
+        if fitted is None:
+            logger.warning("Codec layout mismatch at %s: %s", suffix, t.shape)
+            continue
+        put(params, path, fitted)
+    books = find(cod, "rvq.codebooks", "quantizer.codebooks")
+    if books is not None:
+        put(params, ("codec", "rvq", "codebooks"), books)
+    else:
+        # Per-layer codebooks (encodec/DAC-style export)
+        import numpy as np
+
+        nq = params["codec"]["rvq"]["codebooks"].shape[0]
+        per = [
+            find(cod, f"rvq.codebooks.{q}", f"quantizer.layers.{q}.codebook",
+                 f"quantizer.layers.{q}._codebook.embed")
+            for q in range(nq)
+        ]
+        if all(b is not None for b in per):
+            put(params, ("codec", "rvq", "codebooks"), np.stack(per))
+
+
 def load_checkpoint(
     model_path: str, cfg: QwenTTSConfig, quantization: Optional[str] = None
 ) -> Optional[Dict[str, Any]]:
@@ -110,6 +204,8 @@ def load_checkpoint(
     spk = find(tensors, "speaker_embed.weight", "speaker_embedding.weight")
     if spk is not None:
         put(params, ("speaker_embed",), spk)
+
+    _map_codec(tensors, params, put)
 
     if matched == 0:
         logger.warning("Checkpoint at %s matched no tensors; using random init", model_path)
