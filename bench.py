@@ -194,41 +194,67 @@ def bench_pipeline():
         if served
         else {}
     )
-    if reject_rate > 0 and not full:
-        # Rejection is injected at the drift gate, which only runs with
-        # the full validation loop; a reject-suffixed metric measured with
-        # zero forced rejections would be mislabeled.
-        raise SystemExit("BENCH_REJECT_RATE requires BENCH_FULL=1")
+    # BENCH_REJECT_STT > 0 prices the SECOND gate of the reference loop
+    # (base_tts.py:841-872): a fraction of segments forcibly fail the STT
+    # text-match after its full compute (mel → encode → decode → ITN →
+    # fuzzy match) and regenerate + revalidate.
+    reject_stt = float(os.environ.get("BENCH_REJECT_STT", "0"))
+    if (reject_rate > 0 or reject_stt > 0) and not full:
+        # Rejection is injected at the validation gates, which only run
+        # with the full loop; a reject-suffixed metric measured with zero
+        # forced rejections would be mislabeled.
+        raise SystemExit("BENCH_REJECT_RATE/BENCH_REJECT_STT require BENCH_FULL=1")
 
     provider_cls = QwenTTS
-    if full and reject_rate > 0:
+    if full and (reject_rate > 0 or reject_stt > 0):
 
         class RejectingQwenTTS(QwenTTS):
             # Mode-agnostic forced rejection: the first k validations of
-            # each generate() fail (k = reject_rate × segment count), so
-            # the lockstep path (one big first drift call) and the served
+            # each generate() fail (k = rate × segment count), so the
+            # lockstep path (one big first drift/STT call) and the served
             # path (validations arrive in retire bursts) inject the SAME
-            # number of forced retries.
-            _bench_seen = 0
-            _bench_target = 0
+            # number of forced retries. Drift and STT counters are
+            # independent — BENCH_REJECT_RATE prices gate 1,
+            # BENCH_REJECT_STT gate 2 (they compose).
+            _drift_seen = 0
+            _drift_target = 0
+            _stt_seen = 0
+            _stt_target = 0
             _bench_rejected = 0
 
             def generate(self, texts, *a, **kw):
                 n = len(texts) if isinstance(texts, list) else 1
-                self._bench_seen = 0
-                self._bench_target = max(1, round(n * reject_rate))
+                self._drift_seen = self._stt_seen = 0
+                self._drift_target = (
+                    max(1, round(n * reject_rate)) if reject_rate > 0 else 0
+                )
+                self._stt_target = (
+                    max(1, round(n * reject_stt)) if reject_stt > 0 else 0
+                )
                 return super().generate(texts, *a, **kw)
 
             def _validate_accent_drift_batch(self, audios, sample_rate):
                 out = super()._validate_accent_drift_batch(audios, sample_rate)
                 new = []
                 for p, ok in out:
-                    if self._bench_seen < self._bench_target:
+                    if self._drift_seen < self._drift_target:
                         new.append((p, False))
                         self._bench_rejected += 1
                     else:
                         new.append((p, ok))
-                    self._bench_seen += 1
+                    self._drift_seen += 1
+                return new
+
+            def _validate_text_match_batch(self, audios, sample_rate, texts):
+                out = super()._validate_text_match_batch(audios, sample_rate, texts)
+                new = []
+                for ok, sim, transcribed in out:
+                    if self._stt_seen < self._stt_target:
+                        new.append((False, 0.0, transcribed))
+                        self._bench_rejected += 1
+                    else:
+                        new.append((ok, sim, transcribed))
+                    self._stt_seen += 1
                 return new
 
         provider_cls = RejectingQwenTTS
@@ -302,14 +328,16 @@ def bench_pipeline():
     rtf = audio_sec / wall if wall > 0 else 0.0
     log(f"pipeline: {segs} validated segment(s), {audio_sec:.1f} s audio in {wall:.1f} s"
         f" → RTF {rtf:.1f}, {segs / wall * 60:.0f} seg/min")
-    if reject_rate > 0:
+    if reject_rate > 0 or reject_stt > 0:
         log(f"  forced rejections: {getattr(tts, '_bench_rejected', 0)} segment(s)"
-            f" across all runs (rate {reject_rate})")
+            f" across all runs (drift rate {reject_rate}, stt rate {reject_stt})")
     for name, st in profiling.summary().items():
         log(f"  stage {name}: {st['seconds']:.2f}s over {st['calls']} call(s)")
     suffix = "_full_validation" if full else ""
     if reject_rate > 0:
         suffix += f"_reject{int(reject_rate * 100)}"
+    if reject_stt > 0:
+        suffix += f"_rejectstt{int(reject_stt * 100)}"
     if ragged:
         suffix += "_ragged"
     if served:

@@ -24,13 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 128
 _LANE = 128
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, block_q):
-    """q (BQ, D), k/v (S, D), mask (1, S) int8 → o (BQ, D)."""
+def _attention_kernel(
+    q_ref, off_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, block_q
+):
+    """q (BQ, D), off (1,), k/v (S, D), mask (1, S) int8 → o (BQ, D).
+
+    ``off`` is the GLOBAL position of the first query row — nonzero when
+    the queries are one sequence-parallel shard of a longer prompt whose
+    keys were all-gathered (``sp_fused_gqa_attention``)."""
     qi = pl.program_id(2)
 
     q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
@@ -48,7 +55,11 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, causal, bl
     key_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 1)
     valid = mask_ref[0, 0, :][None, :] != 0
     if causal:
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 0)
+        q_pos = (
+            off_ref[0]
+            + qi * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 0)
+        )
         valid = valid & (key_pos <= q_pos)
     scores = jnp.where(valid, scores, -1e30)
 
@@ -71,13 +82,18 @@ def fused_gqa_attention(
     v: jnp.ndarray,  # (B, S, Hkv, D)
     attn_mask: jnp.ndarray,  # (B, S) bool — key validity
     causal: bool = True,
-    interpret: bool = False,
+    interpret: bool = None,
+    q_offset=None,  # global position of query row 0 (scalar; SP shards)
 ) -> jnp.ndarray:
     """Fused attention; returns (B, T, Hq, D) in q's dtype.
 
     Queries/keys are padded to the 128-lane tile internally; ``attn_mask``
     gates padded keys so padding never leaks into the softmax.
+    ``interpret=None`` auto-selects interpret mode off-TPU (the kernel
+    then runs as plain JAX — used by CPU tests and virtual-device meshes).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     b, t, hq, d = q.shape
     s = k.shape[1]
     hkv = k.shape[2]
@@ -99,6 +115,11 @@ def fused_gqa_attention(
     mask8 = jnp.pad(attn_mask.astype(jnp.int8), ((0, 0), (0, s_pad - s)))[:, None, :]
 
     grid = (b, hq, t_pad // BLOCK_Q)
+    off = (
+        jnp.zeros((1,), jnp.int32)
+        if q_offset is None
+        else jnp.asarray(q_offset, jnp.int32).reshape(1)
+    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -111,6 +132,7 @@ def fused_gqa_attention(
                 (1, 1, BLOCK_Q, d_pad),
                 lambda bi, hi, qi: (bi, hi, qi, 0),
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # query-offset scalar
             pl.BlockSpec(
                 (1, 1, s_pad, d_pad),
                 lambda bi, hi, qi, g=group: (bi, hi // g, 0, 0),
@@ -125,7 +147,7 @@ def fused_gqa_attention(
             (1, 1, BLOCK_Q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         interpret=interpret,
-    )(qt, kt, vt, mask8)
+    )(qt, off, kt, vt, mask8)
 
     out = out[:, :, :t, :d]
     return jnp.transpose(out, (0, 2, 1, 3))
