@@ -164,7 +164,7 @@ def prompt_embeds(
     return emb
 
 
-@partial(jax.jit, static_argnames=("cfg", "fused"))
+@partial(jax.jit, static_argnames=("cfg", "fused", "sp_mesh"))
 def _prefill(
     params: Params,
     cfg: QwenTTSConfig,
@@ -180,6 +180,7 @@ def _prefill(
     cache_v: jnp.ndarray,
     key_valid: jnp.ndarray,  # (B, S)
     fused: bool = True,
+    sp_mesh=None,  # static Mesh: sequence-parallel prefill (see below)
 ):
     """Prompt-embedding assembly + prefill in ONE program.
 
@@ -190,9 +191,13 @@ def _prefill(
     attn_mask set — encoded here via an explicit bos term derived from
     attn_mask minus the other masks.
 
-    ``fused=False`` disables the Pallas prefill-attention kernel so GSPMD
-    can partition the program (sequence-parallel prefill shards the prompt
-    axis over the mesh; a pallas_call has no SPMD partitioning rule).
+    Sequence-parallel prefill passes ``sp_mesh`` (the device mesh): the
+    Pallas attention kernel then runs under ``shard_map`` manual
+    partitioning (K/V all-gathered over 'model', queries local with a
+    global position offset — ``ops.pallas.attention.sp_fused_gqa_
+    attention``) instead of being bypassed, keeping the fused-kernel
+    prefill win under SP. ``fused=False`` falls back to the einsum path
+    (also used automatically off-TPU).
     """
     p = ids_slotted.shape[1]
     embeds = prompt_embeds(
@@ -209,6 +214,7 @@ def _prefill(
         attn_mask=attn_mask,
         key_valid=key_valid,
         fused_prefill=fused,
+        sp_mesh=sp_mesh,
     )
     key_valid = key_valid.at[:, :p].set(attn_mask)
     logits = (h[:, -1].astype(jnp.float32)) @ params["lm_head"].astype(jnp.float32)
@@ -823,7 +829,8 @@ class QwenTTSModel:
                 sharded["codes_slotted"], sharded["code_mask"],
                 sharded["spk_ids"], sharded["spk_mask"],
                 rope_pos, attn_mask, cache_k, cache_v, key_valid,
-                fused=not self.seq_parallel,
+                fused=True,
+                sp_mesh=self.mesh if self.seq_parallel else None,
             )
         if self.seq_parallel:
             # GSPMD may leave the prefill outputs with sequence-axis

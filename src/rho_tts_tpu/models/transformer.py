@@ -228,6 +228,8 @@ def _block_forward_cached(
     slot_causal: bool = True,  # static: slot index reflects time order
     block_causal: bool = False,  # static: with slot_causal=False, causal WITHIN
     # the newly written block (ring-buffer T>1 writes, e.g. speculative verify)
+    sp_mesh=None,  # static Mesh: sequence-parallel prefill — run the fused
+    # kernel under shard_map (q/k/v sharded over the mesh 'model' axis)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One cached transformer block, writing into the stacked cache.
 
@@ -301,11 +303,22 @@ def _block_forward_cached(
 
     if fused_prefill and t > 1 and _fused_attention_available():
         # The chunk IS the whole attention context (empty cache): run
-        # the fused Pallas kernel over the fresh q/k/v directly.
-        from ..ops.pallas.attention import fused_gqa_attention
+        # the fused Pallas kernel over the fresh q/k/v directly. Under
+        # sequence-parallel prefill the kernel runs inside shard_map
+        # (GSPMD can't partition a pallas_call): K/V all-gather over
+        # 'model', queries stay local with a global position offset.
+        from ..ops.pallas.attention import (
+            fused_gqa_attention,
+            sp_fused_gqa_attention,
+        )
 
         mask = attn_mask if attn_mask is not None else jnp.ones((b, t), bool)
-        attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
+        if sp_mesh is not None:
+            attn = sp_fused_gqa_attention(
+                q, k, v, mask, mesh=sp_mesh, causal=True
+            ).astype(jnp.float32)
+        else:
+            attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
     else:
         w = s if kv_window is None else min(kv_window, s)
         scores = _gqa_scores(q, ck_all[layer][:, :w]) * scale  # (B, Hq, T, w)
@@ -355,6 +368,8 @@ def stack_forward(
     # ring-buffer decode, see _block_forward_cached)
     block_causal: bool = False,  # static; in-block causality for T>1 ring
     # writes (speculative verify, see _block_forward_cached)
+    sp_mesh=None,  # static Mesh: SP prefill keeps the fused kernel (see
+    # _block_forward_cached)
 ):
     """Run the full block stack via scan-over-layers.
 
@@ -399,7 +414,7 @@ def stack_forward(
             x, ck_all, cv_all = _block_forward_cached(
                 lp, cfg, x, positions, ck_all, cv_all, layer, slot,
                 attn_mask, key_valid, fused_prefill, kv_window, slot_causal,
-                block_causal,
+                block_causal, sp_mesh,
             )
         ks, vs = ck_all, cv_all
 

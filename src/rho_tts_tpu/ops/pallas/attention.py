@@ -153,6 +153,56 @@ def fused_gqa_attention(
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def sp_fused_gqa_attention(
+    q: jnp.ndarray,  # (B, T, Hq, D) — T sharded over mesh 'model'
+    k: jnp.ndarray,  # (B, T, Hkv, D) — same sharding
+    v: jnp.ndarray,
+    attn_mask: jnp.ndarray,  # (B, T) bool
+    mesh,
+    causal: bool = True,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Sequence-parallel wrapper: the fused kernel under ``shard_map``.
+
+    GSPMD has no partitioning rule for ``pallas_call``, so sequence-
+    parallel prefill used to fall back to the einsum path
+    (``parallel/inference.py``) and forfeit the kernel's +19% prefill
+    win. Manual partitioning restores it: each chip all-gathers K/V/mask
+    over the ``model`` axis (the one unavoidable SP collective, riding
+    ICI) and runs the kernel on its LOCAL query shard with a global
+    query-position offset so the causal mask is computed against
+    absolute positions. Batch rows stay split over ``data``.
+
+    Output sharding equals the input sharding (B over data, T over
+    model) — exactly what GSPMD propagates for the surrounding matmuls,
+    so no resharding is inserted at the region boundary.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mp = mesh.shape.get("model", 1)
+    shard_t = q.shape[1] // mp
+
+    def local(q_l, k_l, v_l, m_l):
+        k_f = jax.lax.all_gather(k_l, "model", axis=1, tiled=True)
+        v_f = jax.lax.all_gather(v_l, "model", axis=1, tiled=True)
+        m_f = jax.lax.all_gather(m_l, "model", axis=1, tiled=True)
+        off = jax.lax.axis_index("model").astype(jnp.int32) * shard_t
+        return fused_gqa_attention(
+            q_l, k_f, v_f, m_f, causal=causal, interpret=interpret,
+            q_offset=off,
+        )
+
+    seq4 = P("data", "model", None, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(seq4, seq4, seq4, P("data", "model")),
+        out_specs=seq4,
+        check_rep=False,
+    )(q, k, v, attn_mask)
+
+
 def reference_gqa_attention(q, k, v, attn_mask, causal=True):
     """Einsum oracle with identical semantics (used off-TPU and in tests)."""
     b, t, hq, d = q.shape

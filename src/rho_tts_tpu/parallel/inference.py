@@ -77,8 +77,12 @@ def enable_sequence_parallel(model, mesh: Mesh) -> None:
     unchanged (DP layout); the KV cache is pinned back to the decode
     sharding at the prefill boundary.
 
-    The Pallas prefill-attention kernel is bypassed under SP (pallas_call
-    has no SPMD partitioning rule); XLA's native attention path is used.
+    The Pallas prefill-attention kernel runs under SP too: GSPMD has no
+    partitioning rule for pallas_call, so it executes inside a
+    ``shard_map`` manual-partitioning region (K/V all-gathered over
+    'model', local queries with a global position offset —
+    ``ops.pallas.attention.sp_fused_gqa_attention``). Off-TPU (or with
+    ``RHO_TTS_TPU_FUSED_ATTENTION=0``) the einsum path is used.
     """
     if mesh.shape.get("model", 1) < 2:
         raise ValueError(
