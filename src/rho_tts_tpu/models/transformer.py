@@ -29,6 +29,29 @@ from .quantization import matmul as qmm
 Params = Dict[str, Any]
 
 
+def _decode_attention_available(kv_dtype) -> bool:
+    """Use the Pallas decode-attention kernel (``RHO_TTS_TPU_DECODE_KERNEL``).
+
+    ``auto`` (default): only on TPU backends AND only when the KV cache
+    is stored f8 — exactly where XLA's separate dequant pass regresses at
+    small shapes (BASELINE 5k8); the bf16 einsum path is already at
+    bandwidth. ``1`` forces the kernel (it auto-interprets off-TPU —
+    used by the CPU parity tests); ``0`` disables.
+    """
+    import os
+
+    flag = os.environ.get("RHO_TTS_TPU_DECODE_KERNEL", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return kv_dtype == jnp.float8_e4m3fn
+
+
 def _fused_attention_available() -> bool:
     """Use the Pallas prefill kernel on TPU backends (env-overridable)."""
     import os
@@ -319,6 +342,23 @@ def _block_forward_cached(
             ).astype(jnp.float32)
         else:
             attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
+    elif t == 1 and key_valid is not None and _decode_attention_available(ck_all.dtype):
+        # Single-token decode through the fused kernel: the complete
+        # (B, w) validity mask (slot causality + ring key_valid) is cheap
+        # VPU work built here; the expensive S×D KV reads happen inside
+        # the kernel with the f8→f32 convert folded into the loads.
+        from ..ops.pallas.decode_attention import decode_gqa_attention
+
+        w = s if kv_window is None else min(kv_window, s)
+        mask2 = key_valid[:, :w]
+        if slot_causal:
+            key_pos = jnp.arange(w, dtype=jnp.int32)[None, :]
+            slot_b2 = slot[:, None] if per_row else slot
+            mask2 = mask2 & (key_pos <= slot_b2)
+        attn = decode_gqa_attention(
+            q, ck_all[layer][:, :w], cv_all[layer][:, :w],
+            jnp.broadcast_to(mask2, (b, w)),
+        ).astype(jnp.float32)
     else:
         w = s if kv_window is None else min(kv_window, s)
         scores = _gqa_scores(q, ck_all[layer][:, :w]) * scale  # (B, Hq, T, w)
