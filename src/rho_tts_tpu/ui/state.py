@@ -25,9 +25,12 @@ _CHATTERBOX_ONLY_PARAMS = {"implementation", "temperature", "cfg_weight"}
 # Constructor kwargs only QwenTTS understands
 _QWEN_ONLY_PARAMS = {
     "speaker", "language", "batch_size", "sound_decay_threshold",
-    # TPU serving knobs (quantization is shared with chatterbox)
+    # TPU serving knobs ("quantization" and "serving" are shared: both
+    # providers quantize their talkers and serve through a slot batch —
+    # Qwen via serving.ServingEngine, Chatterbox via
+    # serving_cb.ChatterboxServingEngine)
     "parallelism", "n_devices", "draft_model_path", "speculative_gamma",
-    "lora_path", "serving",
+    "lora_path",
 }
 
 

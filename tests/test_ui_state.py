@@ -166,16 +166,20 @@ class TestServingKnobs:
         assert kwargs["draft_model_path"] == "tiny-draft"
         assert kwargs["speculative_gamma"] == 6
 
-    def test_chatterbox_filters_serving_but_keeps_quant(self, state):
+    def test_chatterbox_filters_qwen_knobs_keeps_shared(self, state):
+        """Chatterbox drops Qwen-only knobs but keeps the shared ones:
+        quantization AND serving (ChatterboxServingEngine)."""
         model = ModelConfig(
             id="m-s3", label="S3", provider="chatterbox", model_path="chatterbox-standard",
             default_params={"quantization": "int8", "parallelism": "tensor",
-                            "draft_model_path": "d", "speculative_gamma": 4},
+                            "draft_model_path": "d", "speculative_gamma": 4,
+                            "serving": True},
         )
         voice = VoiceProfile(id="v-s3", name="S3", provider="chatterbox",
                              reference_audio="/r.wav")
         kwargs = state.build_tts_kwargs(model, voice)
         assert kwargs["quantization"] == "int8"
+        assert kwargs["serving"] is True
         assert "parallelism" not in kwargs
         assert "draft_model_path" not in kwargs
         assert "speculative_gamma" not in kwargs
