@@ -594,10 +594,14 @@ class WhisperTranscriber:
             res = resample_batch(jnp.stack(stacked), sr, SAMPLE_RATE, n16)
             for j, i in enumerate(idxs):
                 prepped[i] = res[j]
-        # Decode strategy: greedy by default (gate throughput); set
-        # RHO_TTS_TPU_STT_BEAM=5 to match the reference's faster-whisper
-        # default beam size (stt_validator.py:135 → CTranslate2 beam 5).
-        beam = int(os.environ.get("RHO_TTS_TPU_STT_BEAM", "1"))
+        # Decode strategy: beam 5 by default — the reference's
+        # faster-whisper default (stt_validator.py:135 → CTranslate2
+        # beam 5), so the quality gate's semantics match out of the box.
+        # Beam-5 costs only 1.47× over greedy here (the mel + encoder
+        # amortize and the beams fold into the decode batch; BASELINE
+        # config-2 row), and the gate overlaps drift validation anyway.
+        # RHO_TTS_TPU_STT_BEAM=1 opts into greedy for gate throughput.
+        beam = int(os.environ.get("RHO_TTS_TPU_STT_BEAM", "5"))
         toks_batch = self.model.transcribe_tokens_batch(prepped, beam_size=beam)
         out = []
         for toks in toks_batch:

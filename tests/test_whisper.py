@@ -108,9 +108,8 @@ class TestBeamDecode:
     """Batched beam search vs greedy and vs a numpy reference beam.
 
     The reference's STT gate runs faster-whisper at its default beam 5
-    (stt_validator.py:135 → CTranslate2); this repo decodes greedily by
-    default and offers `beam_size`/`RHO_TTS_TPU_STT_BEAM` for exact
-    behavioral parity.
+    (stt_validator.py:135 → CTranslate2); this repo matches that default
+    (`RHO_TTS_TPU_STT_BEAM=1` opts into greedy for gate throughput).
     """
 
     def test_beam1_equals_greedy(self, model):
