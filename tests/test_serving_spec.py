@@ -165,6 +165,27 @@ class TestSpecSampled:
         assert filler.done() and shared.done()
         np.testing.assert_array_equal(shared.codes, solo.codes)
 
+    def test_sampled_identical_draft_high_acceptance(self, target, draft_same):
+        """SAMPLED acceptance sanity (the greedy twin is
+        test_identical_draft_high_acceptance_parity): with p == q the
+        rejection sampler must accept nearly everything at top_k>1 too —
+        a sampled-path acceptance bug would look exactly like a
+        low-overlap draft in the serving benchmarks."""
+        eng = ServingEngine(
+            target, n_slots=2, max_prompt=64, max_frames=128, top_k=4,
+            draft_model=draft_same, gamma=4, residual_mode="draft",
+        )
+        reqs = [
+            eng.submit(t, min_frames=96, max_frames=128, seed=i,
+                       temperature=0.9)
+            for i, t in enumerate(TEXTS[:4])
+        ]
+        eng.run_until_idle()
+        frames = sum(r.n_frames for r in reqs)
+        # Ceiling is 2 slots × (γ+1) = 10 frames/round; p == q measured
+        # ~8.9. Anything near the 1-2/round floor means acceptance broke.
+        assert frames / max(eng.spec_rounds, 1) > 5.0
+
     def test_draft_mode_valid_codes(self, target, draft_other):
         eng = ServingEngine(
             target, n_slots=2, max_prompt=64, max_frames=64, top_k=4,
