@@ -1,10 +1,16 @@
 """Fused single-token (decode) GQA attention with in-kernel KV dequant.
 
-One program per (batch row, KV head): the row's query group (G = Hq/Hkv
-heads), the full K/V cache rows for that head, and the key-validity mask
-live in VMEM; the f8 (or bf16) K/V loads convert to f32 IN-REGISTER as
-part of the read, and scores → mask → softmax → value-mix happen with no
-HBM intermediates.
+One program per batch row: the row's queries (all Hq heads), its full
+K/V cache slab (S, Hkv, D), and the key-validity mask live in VMEM; the
+f8 (or bf16) K/V loads convert to f32 IN-REGISTER as part of the read,
+and scores → mask → softmax → value-mix happen per KV head (a static
+unrolled loop — Hkv is 8 or less everywhere here) with no HBM
+intermediates. Blocking note: Mosaic requires the last two dims of every
+block to be divisible by (8, 128) or equal to the array dims, so the
+cache's (…, Hkv, D) trailing dims must be taken WHOLE — a per-head block
+of (1, S, 1, D) does not lower on real TPUs (it only works in interpret
+mode). Taking the full slab per program keeps total HBM traffic
+identical (each program reads exactly its row's cache once).
 
 Why this exists: with fp8 KV-cache storage (``RHO_TTS_TPU_KV_DTYPE=f8``,
 ``models.transformer.kv_cache_dtype``) XLA's decode attention at SMALL
@@ -15,7 +21,7 @@ loads removes that pass entirely, so fp8's bandwidth win survives at
 small shapes instead of only at batch-16/384+.
 
 The cache layout (B, S, Hkv, D) is consumed directly — the BlockSpec
-picks the (1, S, 1, D) slice per program, no transpose of the cache is
+picks the (1, S, Hkv, D) slab per program, no transpose of the cache is
 ever materialized. Reads are bounded to ``kv_window`` by slicing before
 the call (static shapes).
 
@@ -42,29 +48,31 @@ from jax.experimental import pallas as pl
 _LANE = 128
 
 
-def _decode_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
-    """q (1, 1, G, D), k/v (1, S, 1, D), mask (1, S) int8 → o (1, 1, G, D)."""
-    q = q_ref[0, 0].astype(jnp.float32)  # (G, D)
-    k = k_ref[0, :, 0, :].astype(jnp.float32)  # (S, D) — dequant in-register
-    v = v_ref[0, :, 0, :].astype(jnp.float32)
+def _decode_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, hkv):
+    """q (1, Hkv, G, D), k/v (1, S, Hkv, D), mask (1, 1, S) int8 →
+    o (1, Hkv, G, D). Static unrolled loop over the Hkv heads."""
+    valid = mask_ref[0, 0, :][None, :] != 0  # (1, S)
+    for hi in range(hkv):
+        q = q_ref[0, hi].astype(jnp.float32)  # (G, D)
+        k = k_ref[0, :, hi, :].astype(jnp.float32)  # (S, D) — dequant in-register
+        v = v_ref[0, :, hi, :].astype(jnp.float32)
 
-    scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (G, S)
-    valid = mask_ref[0, :][None, :] != 0
-    scores = jnp.where(valid, scores, -1e30)
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (G, S)
+        scores = jnp.where(valid, scores, -1e30)
 
-    m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / jnp.maximum(denom, 1e-30)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(denom, 1e-30)
+        o_ref[0, hi] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -99,20 +107,20 @@ def decode_gqa_attention(
     if s_pad != s:
         k = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
-    mask8 = jnp.pad(mask.astype(jnp.int8), ((0, 0), (0, s_pad - s)))
+    mask8 = jnp.pad(mask.astype(jnp.int8), ((0, 0), (0, s_pad - s)))[:, None, :]
 
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale),
+        functools.partial(_decode_kernel, scale=scale, hkv=hkv),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d_pad), q.dtype),
-        grid=(b, hkv),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, group, d_pad), lambda bi, hi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, s_pad, 1, d_pad), lambda bi, hi: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, s_pad, 1, d_pad), lambda bi, hi: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, s_pad), lambda bi, hi: (bi, 0)),
+            pl.BlockSpec((1, hkv, group, d_pad), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, s_pad, hkv, d_pad), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, s_pad, hkv, d_pad), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, s_pad), lambda bi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, group, d_pad), lambda bi, hi: (bi, hi, 0, 0)
+            (1, hkv, group, d_pad), lambda bi: (bi, 0, 0, 0)
         ),
         interpret=interpret,
     )(qg, k, v, mask8)
