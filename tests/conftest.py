@@ -24,14 +24,34 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def _malloc_trim():
+    """Return freed glibc arenas to the OS (RSS otherwise only grows)."""
+    import ctypes
+
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:  # pragma: no cover — non-glibc hosts
+        pass
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _bound_jax_executable_memory():
+def _bound_jax_executable_memory(request):
     """Drop compiled executables after each test module.
 
     The suite is compile-heavy (64 files, many distinct mesh/shape
     programs); keeping every executable alive in one pytest process grew
-    RSS past 50 GB. Per-module clearing bounds the working set — modules
-    rarely share programs, so the recompile cost is negligible.
+    RSS past 50 GB. Per-module clearing plus an explicit malloc_trim
+    bounds the working set — clear_caches alone frees to the allocator,
+    but glibc retains the arenas and the OS-visible watermark only climbs.
     """
     yield
     jax.clear_caches()
+    import gc
+
+    gc.collect()
+    _malloc_trim()
+    if os.environ.get("RHO_TTS_TPU_TEST_RSS_LOG"):
+        with open("/proc/self/statm") as f:
+            rss_gb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+        with open(os.environ["RHO_TTS_TPU_TEST_RSS_LOG"], "a") as f:
+            f.write(f"{rss_gb:.2f} GB after {request.node.nodeid}\n")
