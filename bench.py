@@ -350,6 +350,137 @@ def bench_pipeline():
     }))
 
 
+def bench_stepprof():
+    """Decode-step decomposition: weight-read floor vs the full AR step.
+
+    Single-chip AR decode is HBM-bound on weight reads, so the right
+    optimization question is "how far is the real step from the pure
+    weight-stream floor?". Three timings at the headline shape:
+
+      floor   — a scan that runs ONLY the five block matmuls per layer
+                (same stacked layout, same qmm dispatch); its ms/step is
+                the achievable weight-read time at these shapes.
+      step    — the full ``_decode_chunk`` step (attention over the KV
+                cache, rope, norms, lm_head, sampling, residual heads).
+      vocode  — the conv vocoder's per-frame share.
+
+    step − floor is the budget every non-matmul op shares; if it is small,
+    further decode work should target the floor (quantization), not the
+    surrounding ops.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rho_tts_tpu.models import checkpoint as ckpt_lib
+    from rho_tts_tpu.models import transformer as tfm
+    from rho_tts_tpu.models.qwen import PRESETS
+    from rho_tts_tpu.models.qwen.model import CHUNK, _decode_chunk, _vocode
+    from rho_tts_tpu.models.quantization import matmul as qmm
+
+    preset = os.environ.get("BENCH_PRESET", "1.7B")
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
+    batch = int(os.environ.get("BENCH_BATCH", "5"))
+    frames = int(os.environ.get("BENCH_PROMPT", "128"))  # cache fill level
+
+    cfg = PRESETS[preset]
+    params, _mf = ckpt_lib.load_params(
+        _ensure_bench_checkpoint(preset, quant), family="qwen"
+    )
+    params = jax.device_put(params)
+    sync(params["lm_head"].astype(jnp.float32))
+
+    blocks = params["talker"]["blocks"]
+    wbytes = sum(
+        x.size * x.dtype.itemsize
+        for name in ("wqkv", "wo", "w_gate", "w_up", "w_down")
+        for x in jax.tree.leaves(blocks[name])
+    )
+
+    h = cfg.talker.hidden
+
+    @jax.jit
+    def mm_floor(blocks, x0):
+        """CHUNK sequential steps of just the five block matmuls/layer."""
+
+        def layer(x, blk):
+            qkv = qmm(x, blk["wqkv"])  # (B, qkv_out)
+            x = x + qmm(qkv[..., :h], blk["wo"])
+            g = qmm(x, blk["w_gate"])
+            u = qmm(x, blk["w_up"])
+            x = x + qmm((g * u).astype(x.dtype), blk["w_down"])
+            return x, None
+
+        def step(x, _):
+            x, _ = jax.lax.scan(layer, x, blocks)
+            # keep magnitudes bounded across 64 chained steps
+            x = x / jnp.maximum(jnp.max(jnp.abs(x)), 1.0)
+            return x, None
+
+        x, _ = jax.lax.scan(step, x0, None, length=CHUNK)
+        return x
+
+    x0 = jnp.ones((batch, h), cfg.talker.dtype)
+
+    def timed(fn, *a, n=3):
+        fn(*a)  # compile + warm
+        best = []
+        for _ in range(n):
+            t0 = time.time()
+            sync(fn(*a))
+            best.append(time.time() - t0)
+        best.sort()
+        return best[len(best) // 2]
+
+    floor_s = timed(mm_floor, blocks, x0)
+    floor_ms = floor_s / CHUNK * 1000
+    gbs = wbytes / (floor_s / CHUNK) / 1e9
+
+    # Full decode chunk at the same cache shape
+    kv_len = frames + 2 * CHUNK
+    ck, cv = tfm.make_kv_cache(cfg.talker, batch, kv_len)
+    key_valid = (jnp.arange(kv_len)[None, :] < frames).repeat(batch, 0)
+    args = dict(
+        cache_k=ck, cache_v=cv, key_valid=key_valid,
+        slot0=jnp.int32(frames),
+        rope_base=jnp.full((batch,), frames, jnp.int32),
+        last_codes=jnp.zeros((batch, cfg.codec.n_codebooks), jnp.int32),
+        done=jnp.zeros((batch,), bool),
+        seeds=jnp.arange(batch, dtype=jnp.int32),
+        temperature=jnp.float32(0.9),
+        step_base=jnp.int32(0),
+        min_frames=jnp.int32(10**9),  # never EOS
+        steps=CHUNK, top_k=50,
+    )
+
+    def chunk_fn():
+        out = _decode_chunk(params, cfg, **args)
+        return out[0].astype(jnp.float32)
+
+    step_s = timed(chunk_fn)
+    step_ms = step_s / CHUNK * 1000
+
+    codes = jnp.zeros((batch, CHUNK, cfg.codec.n_codebooks), jnp.int32)
+    voc_s = timed(lambda: _vocode(params, cfg, codes))
+    voc_ms = voc_s / CHUNK * 1000
+
+    log(f"stepprof: preset={preset} quant={quant} batch={batch} "
+        f"cache={frames}+{CHUNK}")
+    log(f"  matmul floor: {floor_ms:.2f} ms/step "
+        f"({wbytes / 1e9:.2f} GB weights → {gbs:.0f} GB/s effective)")
+    log(f"  full step:    {step_ms:.2f} ms/step "
+        f"(+{step_ms - floor_ms:.2f} ms attention/sampling/heads)")
+    log(f"  vocoder:      {voc_ms:.2f} ms/frame share")
+    rtf = batch / cfg.codec.frame_rate / ((step_ms + voc_ms) / 1000)
+    log(f"  implied decode RTF at this shape: {rtf:.1f}x")
+    print(json.dumps({
+        "metric": f"decode_step_overhead_ms_batch{batch}",
+        "value": round(step_ms - floor_ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(step_ms / floor_ms, 3),
+    }))
+
+
 def bench_spec():
     """Speculative-decoding mechanics: round cost with a 0.6B draft.
 
@@ -1000,6 +1131,8 @@ def main():
         return bench_pipeline()
     if mode == "chatterbox":
         return bench_chatterbox()
+    if mode == "stepprof":
+        return bench_stepprof()
     if mode == "spec":
         return bench_spec()
     if mode == "spec_distill":

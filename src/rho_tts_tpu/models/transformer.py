@@ -32,24 +32,19 @@ Params = Dict[str, Any]
 def _decode_attention_available(kv_dtype) -> bool:
     """Use the Pallas decode-attention kernel (``RHO_TTS_TPU_DECODE_KERNEL``).
 
-    ``auto`` (default): only on TPU backends AND only when the KV cache
-    is stored f8 — exactly where XLA's separate dequant pass regresses at
-    small shapes (BASELINE 5k8); the bf16 einsum path is already at
-    bandwidth. ``1`` forces the kernel (it auto-interprets off-TPU —
-    used by the CPU parity tests); ``0`` disables.
+    ``auto`` (default) resolves to OFF: measured on a real v5e
+    (2026-08-20, batch-5/256-frame f8 decode) the whole-slab kernel runs
+    ~5× slower than the einsum path (24× vs 129× RT end-to-end) — the
+    per-(row,layer) pallas_call with the full (S, Hkv, D) cache slab in
+    VMEM defeats XLA's software pipelining across the decode scan. The
+    f8 small-shape regression it was written for is instead closed in
+    ``_kv_compute_dtype`` (f8 → bf16 upcast, which XLA feeds to the MXU
+    natively). ``1`` forces the kernel (auto-interprets off-TPU — used
+    by the CPU parity tests); ``0`` disables explicitly.
     """
     import os
 
-    flag = os.environ.get("RHO_TTS_TPU_DECODE_KERNEL", "auto")
-    if flag == "0":
-        return False
-    if flag == "1":
-        return True
-    import jax
-
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    return kv_dtype == jnp.float8_e4m3fn
+    return os.environ.get("RHO_TTS_TPU_DECODE_KERNEL", "0") == "1"
 
 
 def _fused_attention_available() -> bool:
@@ -156,13 +151,32 @@ def _split_qkv(qkv: jnp.ndarray, cfg: TransformerConfig):
     return q, k, v
 
 
+def _kv_compute_dtype(kv: jnp.ndarray):
+    """Upcast dtype for attention dots over the KV cache.
+
+    bf16 caches keep the f32 upcast: XLA recognizes bf16→f32 + dot as a
+    native bf16 MXU dot with f32 accumulation, so nothing materializes.
+    f8 caches upcast to bf16 instead — e4m3 → bf16 is EXACT (4-bit
+    exponent and 3-bit mantissa both fit) and the dot then runs as the
+    same native bf16 MXU op; upcasting f8 to f32 would instead force XLA
+    to emit a separate convert pass whose materialized f32 K/V costs more
+    than the halved f8 read saves (BASELINE 5k8's −25% at small shapes).
+    Accumulation stays f32 via preferred_element_type either way.
+    """
+    return jnp.bfloat16 if kv.dtype == jnp.float8_e4m3fn else jnp.float32
+
+
 def _gqa_scores(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """(B,Tq,Hq,D) x (B,Tk,Hkv,D) -> (B,Hq,Tq,Tk) with GQA head grouping."""
     b, tq, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
+    ct = _kv_compute_dtype(k)
     qg = q.reshape(b, tq, hkv, group, d)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32), k.astype(jnp.float32))
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg.astype(ct), k.astype(ct),
+        preferred_element_type=jnp.float32,
+    )
     return scores.reshape(b, hkv * group, tq, k.shape[1])
 
 
@@ -171,8 +185,12 @@ def _gqa_mix(probs: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, hq, tq, tk = probs.shape
     hkv = v.shape[2]
     group = hq // hkv
+    ct = _kv_compute_dtype(v)
     pg = probs.reshape(b, hkv, group, tq, tk)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", pg, v.astype(jnp.float32))
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", pg.astype(ct), v.astype(ct),
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, tq, hq, v.shape[3])
 
 

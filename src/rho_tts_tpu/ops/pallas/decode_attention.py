@@ -25,11 +25,17 @@ picks the (1, S, Hkv, D) slab per program, no transpose of the cache is
 ever materialized. Reads are bounded to ``kv_window`` by slicing before
 the call (static shapes).
 
-Used by ``models.transformer._block_forward_cached`` for T==1 decode
-steps when the KV cache is f8 (auto) or when forced via
-``RHO_TTS_TPU_DECODE_KERNEL=1``; the einsum path remains the oracle and
-the off-TPU path (interpret mode auto-selects off-TPU, used by the CPU
-tests).
+STATUS — measured NEGATIVE, default OFF (2026-08-20, real v5e): at the
+batch-5/256-frame headline shape this kernel decodes at 24× RT vs 129×
+for the einsum path — the per-(row, layer) pallas_call with the whole
+(S, Hkv, D) slab resident in VMEM serializes against the decode scan's
+weight streaming, where XLA's einsum lowering pipelines the KV reads
+under the block matmuls. The f8 small-shape dequant regression it
+targeted is closed in ``models.transformer._kv_compute_dtype`` instead
+(f8 → bf16 upcast is exact for e4m3 and feeds the MXU natively). Kept
+as an opt-in (``RHO_TTS_TPU_DECODE_KERNEL=1``, used by the CPU parity
+tests in interpret mode) and as the starting point for a grid-over-
+(row, head) rework; ``0``/unset keeps the einsum path.
 
 Reference scope: decode attention lives inside the reference's opaque
 CUDA deps (flash-attn / torch sdpa under ``qwen_tts``); this is the

@@ -65,10 +65,12 @@ def test_nonaligned_s_padded():
 
 
 def test_availability_heuristic(monkeypatch):
-    """auto → f8-on-TPU only; 0/1 force. (On this CPU host auto is False
-    — the einsum path IS the CPU path; forcing 1 auto-interprets.)"""
+    """auto/unset → OFF everywhere (kernel measured 5× slower than the
+    einsum path on real v5e — see module docstring); 1 forces it on
+    (auto-interprets off-TPU), 0 forces it off."""
     monkeypatch.delenv("RHO_TTS_TPU_DECODE_KERNEL", raising=False)
-    assert not _decode_attention_available(jnp.bfloat16)  # cpu backend
+    assert not _decode_attention_available(jnp.bfloat16)
+    assert not _decode_attention_available(jnp.float8_e4m3fn)
     monkeypatch.setenv("RHO_TTS_TPU_DECODE_KERNEL", "1")
     assert _decode_attention_available(jnp.bfloat16)
     monkeypatch.setenv("RHO_TTS_TPU_DECODE_KERNEL", "0")
