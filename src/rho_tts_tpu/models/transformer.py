@@ -57,7 +57,9 @@ def _fused_attention_available() -> bool:
     if flag == "1":
         return True
     try:
-        return jax.default_backend() == "tpu"
+        # "axon" is the relay-attached TPU backend name on dev hosts —
+        # same hardware, same Mosaic lowering path as "tpu".
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
