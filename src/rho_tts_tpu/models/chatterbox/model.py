@@ -263,8 +263,6 @@ def _vocode_masked(params, cfg: ChatterboxConfig, toks_dev, end: int, t: int):
 class ChatterboxModel:
     """Voice-cloning TTS with conditionals caching and CFG decoding."""
 
-    mesh = None  # single-chip decode (API symmetry with QwenTTSModel)
-
     def __init__(
         self,
         cfg: ChatterboxConfig,
@@ -290,6 +288,10 @@ class ChatterboxModel:
         self.params = params
         self._speaker_encoder = None
         self.conditionals: Optional[np.ndarray] = None  # active speaker embedding
+        #: set by parallel.inference.enable_data_parallel /
+        #: enable_tensor_parallel for mesh decode (same contract as
+        #: QwenTTSModel.mesh); None = single chip.
+        self.mesh = None
 
     @classmethod
     def from_pretrained(
@@ -370,6 +372,43 @@ class ChatterboxModel:
     @property
     def config(self) -> ChatterboxConfig:
         return self.cfg
+
+    # -- Mesh sharding helpers ----------------------------------------------
+    #
+    # CFG decode works over 2k transformer rows ([cond × k, uncond × k]) with
+    # per-REQUEST (k,) sampling state. DP shards whichever axes divide the
+    # mesh ``data`` axis (a non-dividing axis stays replicated — the CFG row
+    # doubling makes Qwen-style row padding awkward, and a replicated small
+    # array costs nothing); TP shards the KV cache over heads to match the
+    # column-parallel wqkv, so meshed attention runs without resharding.
+
+    def _shard(self, x, batch_axis: int = 0):
+        """Shard one array's batch axis over the mesh ``data`` axis when it
+        divides; replicate otherwise."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape.get("data", 1)
+        spec = [None] * x.ndim
+        if dp > 1 and x.shape[batch_axis] % dp == 0:
+            spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    def _shard_kv(self, cache):
+        """Shard a (L, B, S, Hkv, D) KV cache: rows over ``data`` (when they
+        divide) and — under tensor parallelism — heads over ``model``."""
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape.get("data", 1)
+        axes = [None] * cache.ndim
+        if dp > 1 and cache.shape[1] % dp == 0:
+            axes[1] = "data"
+        if self.mesh.shape.get("model", 1) > 1:
+            axes[3] = "model"
+        return jax.device_put(cache, NamedSharding(self.mesh, P(*axes)))
 
     @property
     def speaker_encoder(self):
@@ -462,13 +501,15 @@ class ChatterboxModel:
             n_chunks = max((s - p) // CHUNK, 1)
 
         cache_k, cache_v = tfm.make_kv_cache(cfg.talker, 2 * k, s)
-        key_valid = jnp.zeros((2 * k, s), bool)
+        cache_k, cache_v = self._shard_kv(cache_k), self._shard_kv(cache_v)
+        key_valid = self._shard(jnp.zeros((2 * k, s), bool))
 
         logits, cache_k, cache_v, key_valid = _prefill(
             self.params, cfg,
-            jnp.asarray(ids_slotted), jnp.asarray(text_mask),
-            jnp.asarray(bos_mask), jnp.asarray(spk_mask), jnp.asarray(spk_vec),
-            jnp.asarray(rope_pos), jnp.asarray(attn_mask),
+            self._shard(jnp.asarray(ids_slotted)), self._shard(jnp.asarray(text_mask)),
+            self._shard(jnp.asarray(bos_mask)), self._shard(jnp.asarray(spk_mask)),
+            jnp.asarray(spk_vec),
+            self._shard(jnp.asarray(rope_pos)), self._shard(jnp.asarray(attn_mask)),
             cache_k, cache_v, key_valid,
         )
         if seeds is None:

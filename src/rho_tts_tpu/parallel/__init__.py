@@ -8,6 +8,7 @@ loop and tensor-parallelism covers >1-chip model spans.
 
 from .inference import (
     enable_data_parallel,
+    enable_parallelism,
     enable_sequence_parallel,
     enable_tensor_parallel,
 )
@@ -18,4 +19,11 @@ from .pipeline import (
     pipeline_train_step,
     shard_stack_for_pipeline,
 )
-from .sharding import batch_sharding, param_shardings, qwen_param_specs, shard_params
+from .sharding import (
+    batch_sharding,
+    chatterbox_param_specs,
+    param_shardings,
+    param_specs_for,
+    qwen_param_specs,
+    shard_params,
+)

@@ -46,6 +46,39 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree.map(place, tree)
 
 
+def enable_parallelism(model, mode: str, n_devices=None) -> None:
+    """Provider-level mesh setup: resolve a device count and axis split
+    from a ``parallelism`` mode string, then enable DP or TP in place.
+
+    ``mode`` is "data" or "tensor". With "tensor", the TP degree is the
+    largest of (4, 2) dividing both the device count and the model's KV
+    heads (the cache shards over heads); leftover devices form a ``data``
+    axis. A single visible device logs and leaves the model unmeshed.
+    """
+    import jax as _jax
+
+    from .mesh import create_mesh
+
+    if mode not in ("data", "tensor"):
+        raise ValueError(f"Unknown parallelism mode: {mode!r}")
+    n = n_devices or len(_jax.devices())
+    if n <= 1:
+        logger.warning(
+            "parallelism=%r requested but only %d device(s) visible", mode, n
+        )
+        return
+    if mode == "data":
+        enable_data_parallel(model, create_mesh(n, model_parallel=1))
+    else:
+        kv_heads = model.config.talker.kv_heads
+        mp = 1
+        for cand in (4, 2):
+            if n % cand == 0 and kv_heads % cand == 0:
+                mp = cand
+                break
+        enable_tensor_parallel(model, create_mesh(n, model_parallel=mp))
+
+
 def enable_data_parallel(model, mesh: Mesh) -> None:
     """Switch a model instance to mesh execution (in place).
 
@@ -105,9 +138,11 @@ def enable_tensor_parallel(model, mesh: Mesh) -> None:
     over ``model`` (two psums per block, inserted by XLA and riding ICI),
     vocab-sharded text embedding, and the KV caches sharded over the KV
     heads (see ``QwenTTSModel._shard_kv``). Batch rows still spread over
-    ``data`` when the mesh has both axes.
+    ``data`` when the mesh has both axes. Works for both codec-LM
+    families (``QwenTTSModel`` and ``ChatterboxModel`` — the spec tree is
+    chosen from the parameter-tree shape, ``sharding.param_specs_for``).
     """
-    from .sharding import qwen_param_specs, shard_params
+    from .sharding import param_specs_for, shard_params
 
     mp = mesh.shape.get("model", 1)
     kv_heads = model.config.talker.kv_heads
@@ -116,7 +151,7 @@ def enable_tensor_parallel(model, mesh: Mesh) -> None:
             f"model axis ({mp}) must divide kv_heads ({kv_heads}) so the "
             "KV cache shards evenly over heads"
         )
-    model.params = shard_params(mesh, model.params, qwen_param_specs(model.params))
+    model.params = shard_params(mesh, model.params, param_specs_for(model.params))
     model.mesh = mesh
     logger.info(
         "Tensor-parallel inference enabled: mesh=%s", dict(mesh.shape)

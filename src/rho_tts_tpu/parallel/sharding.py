@@ -41,13 +41,24 @@ def stack_specs() -> Params:
     return {"blocks": dict(_BLOCK_SPECS), "final_norm": P(None)}
 
 
-def qwen_param_specs(params: Params) -> Params:
-    """PartitionSpec tree matching models.qwen.model.init_params.
+def _quantized_block_specs(blocks: Params, bspecs: Params) -> None:
+    """Swap dense block specs for quantized-leaf dict specs in place.
 
-    Handles weight-only int8 talker blocks (``{"q", "s"}`` leaves from
-    models.quantization.quantize_stack): ``q`` keeps the dense layout spec
-    and the per-output-channel scale ``s`` drops the input axis.
+    Weight-only int8/int4 talker blocks carry ``{"q"/"q4", "s"}`` leaves
+    (models.quantization.quantize_stack): ``q`` keeps the dense layout
+    spec and the per-output-channel scale ``s`` drops the input axis.
+    int4 packs K/2 rows; the contraction-axis spec still applies (packing
+    halves rows, it does not change which axis is sharded).
     """
+    for name, leaf in blocks.items():
+        if isinstance(leaf, dict) and "s" in leaf and ("q" in leaf or "q4" in leaf):
+            dense = tuple(bspecs[name])
+            qkey = "q" if "q" in leaf else "q4"
+            bspecs[name] = {qkey: P(*dense), "s": P(*(dense[:-2] + dense[-1:]))}
+
+
+def qwen_param_specs(params: Params) -> Params:
+    """PartitionSpec tree matching models.qwen.model.init_params."""
     specs: Params = {
         # Text vocab is large and divisible; audio vocab (codebook + 3
         # specials) is intentionally replicated — it's a few MB.
@@ -59,16 +70,39 @@ def qwen_param_specs(params: Params) -> Params:
         "code_predictor": {"w1": P(None, None, "model"), "w2": P(None, "model", None)},
         "codec": jax.tree.map(lambda _: P(), params["codec"]),
     }
-    blocks = params["talker"]["blocks"]
-    bspecs = specs["talker"]["blocks"]
-    for name, leaf in blocks.items():
-        if isinstance(leaf, dict) and "s" in leaf and ("q" in leaf or "q4" in leaf):
-            dense = tuple(bspecs[name])
-            qkey = "q" if "q" in leaf else "q4"  # int4 packs K/2 rows; the
-            # contraction-axis spec still applies (packing halves rows, it
-            # does not change which axis is sharded).
-            bspecs[name] = {qkey: P(*dense), "s": P(*(dense[:-2] + dense[-1:]))}
+    _quantized_block_specs(params["talker"]["blocks"], specs["talker"]["blocks"])
     return specs
+
+
+def chatterbox_param_specs(params: Params) -> Params:
+    """PartitionSpec tree matching models.chatterbox.model.init_params.
+
+    Same Megatron recipe as the Qwen tree over the shared transformer
+    stack; the CFG family's extras stay replicated — ``speech_embed``
+    (codebook + 3 specials: not evenly divisible) and ``spk_proj`` /
+    ``lm_head`` / codec are all a few MB. ``text_embed`` vocab-shards
+    over ``model`` like the Qwen tree (every preset's text vocab is a
+    power of two).
+    """
+    specs: Params = {
+        "text_embed": P("model", None),
+        "speech_embed": P(None, None),
+        "spk_proj": P(None, None),
+        "talker": stack_specs(),
+        "lm_head": P(None, None),
+        "codec": jax.tree.map(lambda _: P(), params["codec"]),
+    }
+    _quantized_block_specs(params["talker"]["blocks"], specs["talker"]["blocks"])
+    return specs
+
+
+def param_specs_for(params: Params) -> Params:
+    """Spec tree for either codec-LM family, keyed on the tree's shape
+    (the Chatterbox tree carries ``spk_proj``; the Qwen tree
+    ``code_predictor``)."""
+    if "spk_proj" in params:
+        return chatterbox_param_specs(params)
+    return qwen_param_specs(params)
 
 
 def param_shardings(mesh: Mesh, params: Params, specs: Params) -> Params:

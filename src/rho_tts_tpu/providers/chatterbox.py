@@ -62,6 +62,11 @@ class ChatterboxTTS(BaseTTS):
             (transformer rows = 2× for the CFG pairs; default 4).
         serving_max_prompt: Engine prompt-token cap (default 128).
         serving_max_frames: Engine per-request frame cap (default 1024).
+        parallelism: None (single chip), "data" (replicated weights, CFG
+            rows spread over the mesh) or "tensor" (talker weights
+            sharded over the mesh ``model`` axis). Both the one-shot and
+            serving paths run meshed.
+        n_devices: Mesh size for parallel serving (default: all devices).
     """
 
     MAX_MODEL_CHARS = 3000
@@ -90,6 +95,8 @@ class ChatterboxTTS(BaseTTS):
         serving_slots: int = 4,
         serving_max_prompt: int = 128,
         serving_max_frames: int = 1024,
+        parallelism: Optional[str] = None,
+        n_devices: Optional[int] = None,
     ):
         super().__init__(device, seed, deterministic, phonetic_mapping=phonetic_mapping)
 
@@ -139,6 +146,14 @@ class ChatterboxTTS(BaseTTS):
             quantization=quantization,
             model_path=model_path,
         )
+        if parallelism not in (None, "data", "tensor"):
+            raise ValueError(f"Unknown parallelism mode: {parallelism!r}")
+        self.parallelism = parallelism
+        self.n_devices = n_devices
+        if parallelism:
+            from ..parallel import enable_parallelism
+
+            enable_parallelism(self.model, parallelism, n_devices)
         self._prompt_cache: Dict[str, np.ndarray] = {}
 
         if self.voice_cloning:

@@ -217,27 +217,9 @@ class QwenTTS(BaseTTS):
         """
         if not self.parallelism:
             return
-        import jax
+        from ..parallel import enable_parallelism
 
-        from ..parallel import create_mesh, enable_data_parallel, enable_tensor_parallel
-
-        n = self.n_devices or len(jax.devices())
-        if n <= 1:
-            logger.warning("parallelism=%r requested but only %d device(s) visible",
-                           self.parallelism, n)
-            return
-        if self.parallelism == "data":
-            enable_data_parallel(model, create_mesh(n, model_parallel=1))
-        else:
-            # TP degree must divide both the device count and the KV heads
-            # (the cache shards over heads); leftover devices go to data.
-            kv_heads = model.config.talker.kv_heads
-            mp = 1
-            for cand in (4, 2):
-                if n % cand == 0 and kv_heads % cand == 0:
-                    mp = cand
-                    break
-            enable_tensor_parallel(model, create_mesh(n, model_parallel=mp))
+        enable_parallelism(model, self.parallelism, self.n_devices)
 
     def _initialize_reference_embedding(self):
         """Compute the reference speaker embedding for similarity checks."""

@@ -276,7 +276,14 @@ class ChatterboxServingEngine(ServingEngine):
     ``n_slots`` is the number of concurrent REQUESTS; the transformer
     batch is ``2 * n_slots`` rows (CFG pairs). Submit from any thread;
     drive with :meth:`step` / :meth:`run_until_idle` or :meth:`start`.
-    Single-chip (the Chatterbox decode path has no mesh mode yet).
+
+    Mesh serving: a model prepared with
+    ``parallel.inference.enable_data_parallel`` / ``enable_tensor_parallel``
+    serves through the same engine — the 2B CFG rows shard over the
+    mesh's ``data`` axis (``n_slots`` must divide it) and KV heads over
+    ``model``; XLA propagates the shardings through the CFG decode
+    chunk, admission prefill, and scatters, inserting the TP psums over
+    ICI (greedy mesh parity is pinned in tests/test_serving_cb.py).
     """
 
     def __init__(
@@ -292,7 +299,7 @@ class ChatterboxServingEngine(ServingEngine):
         chunk: int = 64,
     ):
         self.model = model
-        self.mesh = None
+        self.mesh = getattr(model, "mesh", None)  # None = single chip
         self.cfg = model.cfg
         # Serving chunks are shorter than the one-shot CHUNK (128): the
         # slot batch amortizes the per-chunk host sync that made the
@@ -316,21 +323,47 @@ class ChatterboxServingEngine(ServingEngine):
             self.ring = _round_up(cap, self.chunk)
             self.max_frames = max(self.ring - self.max_prompt - self.chunk, self.chunk)
 
+        # Mesh serving: the 2B CFG rows and the (B,) request state both
+        # shard over 'data' (requiring n_slots % dp == 0 keeps the two row
+        # spaces aligned), KV heads over 'model' — the same layout as the
+        # meshed one-shot path (ChatterboxModel._shard_kv); params were
+        # already sharded by parallel.inference.
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            if self.n_slots % dp != 0:
+                raise ValueError(
+                    f"n_slots ({self.n_slots}) must be a multiple of the "
+                    f"mesh data axis ({dp})"
+                )
+
+        def place(x, *spec):
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = list(spec) + [None] * (x.ndim - len(spec))
+            if "model" in spec and self.mesh.shape.get("model", 1) == 1:
+                spec = [None if s == "model" else s for s in spec]
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
         b, b2 = self.n_slots, 2 * self.n_slots
         cache_k, cache_v = tfm.make_kv_cache(self.cfg.talker, b2, self.ring)
-        self._cache_k, self._cache_v = cache_k, cache_v
-        self._key_valid = jnp.zeros((b2, self.ring), bool)
-        self._rope_next = jnp.zeros((b2,), jnp.int32)
+        self._cache_k = place(cache_k, None, "data", None, "model")
+        self._cache_v = place(cache_v, None, "data", None, "model")
+        self._key_valid = place(jnp.zeros((b2, self.ring), bool), "data")
+        self._rope_next = place(jnp.zeros((b2,), jnp.int32), "data")
         # Per-request (B,) decode state — all device-resident between chunks.
-        self._last_codes = jnp.zeros((b,), jnp.int32)
-        self._done = jnp.ones((b,), bool)
-        self._active_dev = jnp.zeros((b,), bool)
-        self._frames_done = jnp.zeros((b,), jnp.int32)
-        self._min_frames = jnp.zeros((b,), jnp.int32)
-        self._temp = jnp.full((b,), self.cfg.temperature, jnp.float32)
-        self._cfg_w = jnp.full((b,), 0.6, jnp.float32)
-        self._seeds = jnp.zeros((b,), jnp.int32)
-        self._codes_buf = jnp.zeros((b, self.max_frames + self.chunk), jnp.int32)
+        self._last_codes = place(jnp.zeros((b,), jnp.int32), "data")
+        self._done = place(jnp.ones((b,), bool), "data")
+        self._active_dev = place(jnp.zeros((b,), bool), "data")
+        self._frames_done = place(jnp.zeros((b,), jnp.int32), "data")
+        self._min_frames = place(jnp.zeros((b,), jnp.int32), "data")
+        self._temp = place(jnp.full((b,), self.cfg.temperature, jnp.float32), "data")
+        self._cfg_w = place(jnp.full((b,), 0.6, jnp.float32), "data")
+        self._seeds = place(jnp.zeros((b,), jnp.int32), "data")
+        self._codes_buf = place(
+            jnp.zeros((b, self.max_frames + self.chunk), jnp.int32), "data"
+        )
         # Speaker-embedding cache: reference audio is encoded once per path
         # (the one-shot provider's conditionals cache, chatterbox.py:113-121).
         self._spk_cache: Dict[str, np.ndarray] = {}

@@ -277,6 +277,79 @@ class TestStreamingServing:
         np.testing.assert_allclose(wav, marked, atol=2e-5)  # and aligned
 
 
+class TestMeshServing:
+    """CFG serving over a device mesh (virtual CPU devices).
+
+    The engine's 2B CFG rows shard over 'data' and KV heads over
+    'model' (parallel.inference + serving_cb placement). Pins mirror the
+    Qwen engine's (tests/test_serving.py::TestMeshServing): pure DP is
+    token-exact vs the single-chip engine; TP reorders fp32 psums, so
+    its pin is against the SAME-MESH one-shot path.
+    """
+
+    def test_dp_mesh_bit_exact_vs_single_chip(self, greedy_model):
+        from rho_tts_tpu.parallel.inference import enable_data_parallel
+        from rho_tts_tpu.parallel.mesh import create_mesh
+
+        texts = TEXTS[:3]
+        eng0 = ChatterboxServingEngine(
+            greedy_model, n_slots=2, max_prompt=64, max_frames=128, chunk=32
+        )
+        base = [eng0.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng0.run_until_idle()
+
+        meshed = ChatterboxModel(greedy_model.cfg, params=greedy_model.params, seed=0)
+        enable_data_parallel(meshed, create_mesh(2, model_parallel=1))
+        eng = ChatterboxServingEngine(
+            meshed, n_slots=2, max_prompt=64, max_frames=128, chunk=32
+        )
+        reqs = [eng.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng.run_until_idle()
+        for r0, r in zip(base, reqs):
+            assert r.done()
+            np.testing.assert_array_equal(r.codes, r0.codes)
+
+    def test_tp_mesh_matches_same_mesh_oneshot(self, greedy_model):
+        from rho_tts_tpu.parallel.inference import enable_tensor_parallel
+        from rho_tts_tpu.parallel.mesh import create_mesh
+
+        meshed = ChatterboxModel(greedy_model.cfg, params=greedy_model.params, seed=0)
+        enable_tensor_parallel(meshed, create_mesh(4, model_parallel=2))
+        texts = TEXTS[:2]
+        refs = [
+            oneshot_tokens(meshed, t, min_new=8, max_new=96) for t in texts
+        ]
+        eng = ChatterboxServingEngine(
+            meshed, n_slots=2, max_prompt=64, max_frames=128, chunk=32
+        )
+        reqs = [eng.submit(t, min_frames=8, max_frames=96) for t in texts]
+        eng.run_until_idle()
+        for r, rf in zip(reqs, refs):
+            assert r.done()
+            assert_parity(r, rf)
+
+    def test_tp_oneshot_generate_runs_and_matches_candidates(self, greedy_model):
+        """Meshed one-shot decode: generate() produces audio and the
+        candidate batch (k=2) reproduces generate(seed=s) per row —
+        the k-row CFG replication survives the TP sharding."""
+        from rho_tts_tpu.parallel.inference import enable_tensor_parallel
+        from rho_tts_tpu.parallel.mesh import create_mesh
+
+        meshed = ChatterboxModel(greedy_model.cfg, params=greedy_model.params, seed=0)
+        enable_tensor_parallel(meshed, create_mesh(4, model_parallel=2))
+        wav = meshed.generate(
+            TEXTS[0], min_new_tokens=8, max_new_tokens=64, seed=5
+        )
+        assert wav.shape[-1] > 0
+        cands = meshed.generate_candidates(
+            TEXTS[0], 2, min_new_tokens=8, max_new_tokens=64, seeds=[5, 9]
+        )
+        n = min(wav.shape[-1], cands[0].shape[-1])
+        np.testing.assert_allclose(
+            np.asarray(wav)[:n], np.asarray(cands[0])[:n], atol=2e-5
+        )
+
+
 class TestSchedulerBehavior:
     def test_min_frames_floor(self, model):
         eng = ChatterboxServingEngine(
