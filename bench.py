@@ -398,6 +398,7 @@ def bench_stepprof():
     )
 
     h = cfg.talker.hidden
+    attn_w = cfg.talker.q_heads * cfg.talker.head_dim  # wo input width
 
     @jax.jit
     def mm_floor(blocks, x0):
@@ -405,7 +406,7 @@ def bench_stepprof():
 
         def layer(x, blk):
             qkv = qmm(x, blk["wqkv"])  # (B, qkv_out)
-            x = x + qmm(qkv[..., :h], blk["wo"])
+            x = x + qmm(qkv[..., :attn_w], blk["wo"])
             g = qmm(x, blk["w_gate"])
             u = qmm(x, blk["w_up"])
             x = x + qmm((g * u).astype(x.dtype), blk["w_down"])

@@ -29,18 +29,18 @@ from .quantization import matmul as qmm
 Params = Dict[str, Any]
 
 
-def _decode_attention_available(kv_dtype) -> bool:
+def _decode_attention_available() -> bool:
     """Use the Pallas decode-attention kernel (``RHO_TTS_TPU_DECODE_KERNEL``).
 
-    ``auto`` (default) resolves to OFF: measured on a real v5e
-    (2026-08-20, batch-5/256-frame f8 decode) the whole-slab kernel runs
-    ~5× slower than the einsum path (24× vs 129× RT end-to-end) — the
-    per-(row,layer) pallas_call with the full (S, Hkv, D) cache slab in
-    VMEM defeats XLA's software pipelining across the decode scan. The
-    f8 small-shape regression it was written for is instead closed in
-    ``_kv_compute_dtype`` (f8 → bf16 upcast, which XLA feeds to the MXU
-    natively). ``1`` forces the kernel (auto-interprets off-TPU — used
-    by the CPU parity tests); ``0`` disables explicitly.
+    Default OFF: measured on a real v5e (2026-08-20, batch-5/256-frame
+    f8 decode) the whole-slab kernel runs ~5× slower than the einsum
+    path (24× vs 129× RT end-to-end) — the per-(row,layer) pallas_call
+    with the full (S, Hkv, D) cache slab in VMEM defeats XLA's software
+    pipelining across the decode scan. The f8 small-shape regression it
+    was written for is instead closed in ``_kv_compute_dtype`` (f8 →
+    bf16 upcast, which XLA feeds to the MXU natively). ``1`` forces the
+    kernel (auto-interprets off-TPU — used by the CPU parity tests);
+    ``0`` disables explicitly.
     """
     import os
 
@@ -164,6 +164,13 @@ def _kv_compute_dtype(kv: jnp.ndarray):
     to emit a separate convert pass whose materialized f32 K/V costs more
     than the halved f8 read saves (BASELINE 5k8's −25% at small shapes).
     Accumulation stays f32 via preferred_element_type either way.
+
+    Deliberate extra truncation for f8 caches: ``_gqa_mix`` also casts
+    the f32 softmax probs down to bf16 so the P·V dot is a native bf16
+    MXU op (a mixed bf16×f32 dot would not be). This is lossy relative
+    to the bf16-cache path (which keeps probs f32) but sits well inside
+    the documented f8 quality tradeoff — covered by
+    ``test_f8_cache_logits_close_to_bf16``.
     """
     return jnp.bfloat16 if kv.dtype == jnp.float8_e4m3fn else jnp.float32
 
@@ -362,7 +369,7 @@ def _block_forward_cached(
             ).astype(jnp.float32)
         else:
             attn = fused_gqa_attention(q, k, v, mask, causal=True).astype(jnp.float32)
-    elif t == 1 and key_valid is not None and _decode_attention_available(ck_all.dtype):
+    elif t == 1 and key_valid is not None and _decode_attention_available():
         # Single-token decode through the fused kernel: the complete
         # (B, w) validity mask (slot causality + ring key_valid) is cheap
         # VPU work built here; the expensive S×D KV reads happen inside
@@ -488,7 +495,9 @@ def kv_cache_dtype():
     ``bf16`` (default) or ``f8`` (float8_e4m3fn). fp8 STORAGE-ONLY
     quantization halves per-step KV HBM reads with no scale bookkeeping:
     writes already cast to the cache dtype and the attention einsums
-    upcast to f32 in-register, so the convert fuses into the reads. The
+    upcast in-register (bf16 caches → f32; f8 caches → bf16 so the dots
+    stay native MXU ops, see ``_kv_compute_dtype``), so the convert
+    fuses into the reads. The
     KV read is ~15-25% of a decode step's HBM traffic at serving batch
     sizes (weights dominate), so this is a capacity/bandwidth lever, not
     a large speedup — measured numbers in BASELINE.md. e4m3 carries ~2

@@ -1,7 +1,8 @@
-"""Provider and voice introspection dataclasses.
+"""Static provider/voice capability metadata.
 
-Used by ``BaseTTS.provider_info()`` / ``TTSFactory.get_provider_info()`` to
-expose provider capabilities without initializing any model.
+These records answer "what can this provider do, which voices does it ship"
+without touching any model weights — the factory serves them even for
+providers that would run isolated in a worker venv.
 
 Capability parity: reference ``src/rho_tts/provider_info.py:12-27``.
 """
@@ -9,12 +10,18 @@ Capability parity: reference ``src/rho_tts/provider_info.py:12-27``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List
+
+__all__ = ["ProviderInfo", "VoiceInfo"]
 
 
 @dataclass
 class VoiceInfo:
-    """Metadata for a single voice."""
+    """One selectable voice.
+
+    ``id`` is the stable key used in API calls and UI persistence; ``name``
+    is the human label.  ``is_builtin`` distinguishes provider-shipped
+    speakers from user-created clone voices.
+    """
 
     id: str
     name: str
@@ -24,9 +31,14 @@ class VoiceInfo:
 
 @dataclass
 class ProviderInfo:
-    """Metadata about a TTS provider's capabilities."""
+    """Capability summary for one registered provider.
+
+    ``builtin_voices`` lists the named speakers available without cloning
+    (empty for clone-only model families); ``supported_languages`` is
+    advisory — providers accept any text and this drives UI filtering only.
+    """
 
     name: str
     supports_voice_cloning: bool = False
-    supported_languages: List[str] = field(default_factory=list)
-    builtin_voices: List[VoiceInfo] = field(default_factory=list)
+    supported_languages: list[str] = field(default_factory=list)
+    builtin_voices: list[VoiceInfo] = field(default_factory=list)

@@ -1,7 +1,8 @@
 """fp8 KV-cache storage (`RHO_TTS_TPU_KV_DTYPE=f8`).
 
 Storage-only quantization: writes cast to the cache dtype, attention
-einsums upcast to f32 in-register — no scale arrays. e4m3 keeps ~2
+einsums upcast in-register (f8 → bf16 so the dots are native MXU ops;
+bf16 caches → f32) — no scale arrays. e4m3 keeps ~2
 significant digits, so the pin is logit CLOSENESS and a functional decode,
 not token equality (greedy sequences may legitimately diverge; the knob is
 documented as a bandwidth/capacity lever with a quality tradeoff).
