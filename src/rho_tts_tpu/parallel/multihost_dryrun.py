@@ -6,13 +6,19 @@ CPU mesh certifies single-host sharding: N actual OS processes each
 expose ``--xla_force_host_platform_device_count`` virtual CPU devices,
 rendezvous through ``jax.distributed.initialize`` (the exact plumbing a
 TPU pod slice uses, ``parallel.mesh.initialize_distributed``), build a
-process-spanning ``create_multihost_mesh``, and run a REAL model
-program — tiny-Qwen prefill + an 8-step greedy decode chain, fully
-jitted — with batch rows sharded over the global ``data`` axis.
+process-spanning ``create_multihost_mesh``, and run TWO real workloads
+with rows sharded over the global ``data`` axis:
 
-Certification = every process's ``process_allgather``-ed tokens match a
-single-device local reference bit-for-bit: the cross-process sharding
-changed the schedule, not the math.
+1. tiny-Qwen prefill + an 8-step greedy decode chain, fully jitted;
+2. the continuous-batching :class:`~rho_tts_tpu.serving.ServingEngine`
+   itself — admission prefill, KV-ring scatters, lagged done-bitmap
+   harvest (``process_allgather`` under ``serving._np_fetch``), and
+   retire vocode all run SPMD, each process driving the identical
+   deterministic scheduler loop.
+
+Certification = every process's gathered tokens/codes match a
+process-local single-controller reference bit-for-bit: the
+cross-process sharding changed the schedule, not the math.
 
 Run one worker per process::
 
@@ -144,16 +150,60 @@ def _worker_main(argv=None) -> int:
     toks = toks.reshape(ref.shape)
 
     ok = bool(np.array_equal(toks, ref))
+
+    # ---- Phase 2: the ServingEngine itself across processes --------------
+    # Slot rows DP-shard over the process-spanning 'data' axis; the whole
+    # scheduler (admission prefill, ring scatters, lagged done-bitmap
+    # harvest via process_allgather, retire vocode) runs SPMD — every
+    # process drives the identical deterministic loop. Greedy codes must be
+    # bit-exact vs a process-local single-controller engine.
+    from ..models.qwen.model import QwenTTSModel
+    from ..serving import ServingEngine
+    from .inference import enable_data_parallel
+
+    texts = [
+        "multi host serving row one",
+        "second request rides another process",
+        "third utterance fills the ring",
+        "fourth row",
+        "a fifth request queues behind the slots",
+    ]
+    n_slots = int(mesh.shape["data"])  # one slot per data shard
+
+    def run_engine(m):
+        eng = ServingEngine(m, n_slots=n_slots, max_prompt=64,
+                            max_frames=64, top_k=1)
+        reqs = [eng.submit(t, min_frames=8, max_frames=64) for t in texts]
+        eng.run_until_idle()
+        assert all(r.done() for r in reqs)
+        return [r.codes for r in reqs]
+
+    local_model = QwenTTSModel(cfg, params=params, seed=0)
+    ref_codes = run_engine(local_model)
+
+    meshed = QwenTTSModel(cfg, params=params, seed=0)
+    enable_data_parallel(meshed, mesh)
+    mesh_codes = run_engine(meshed)
+
+    serve_ok = all(
+        np.array_equal(a, b) for a, b in zip(ref_codes, mesh_codes)
+    )
+    serve_sum = sum(int(c.sum()) for c in mesh_codes)
+    ok = ok and serve_ok
+
     with open(args.out, "w") as fh:
         fh.write(
             f"{'OK' if ok else 'MISMATCH'} proc={args.process_id} "
             f"procs={jax.process_count()} devices={jax.device_count()} "
-            f"mesh={dict(mesh.shape)} checksum={int(toks.sum())}\n"
+            f"mesh={dict(mesh.shape)} checksum={int(toks.sum())} "
+            f"serve={'OK' if serve_ok else 'MISMATCH'} "
+            f"serve_slots={n_slots} serve_reqs={len(texts)} "
+            f"serve_checksum={serve_sum}\n"
         )
     return 0 if ok else 1
 
 
-def run_dryrun(n_processes: int = 2, local_devices: int = 4, timeout: int = 900):
+def run_dryrun(n_processes: int = 2, local_devices: int = 4, timeout: int = 1800):
     """Spawn the N-process rendezvous on this host; returns the per-process
     report lines. Raises on any mismatch / nonzero exit."""
     import socket

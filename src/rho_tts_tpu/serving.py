@@ -95,9 +95,33 @@ import os as _os
 _SYNC = _os.environ.get("RHO_TTS_TPU_SERVE_SYNC", "0") == "1"
 
 
+def _np_fetch(x) -> np.ndarray:
+    """``np.asarray`` for device arrays that may span processes.
+
+    On a multi-host mesh (``parallel.mesh.create_multihost_mesh``) arrays
+    sharded over ``data`` have shards on devices this process cannot
+    address, so a plain fetch raises; an all-gather collective assembles
+    the global value instead. Every process must therefore reach the same
+    fetch sites in the same order — which holds because the scheduler is
+    deterministic and every process drives the engine with the same
+    submissions (single-controller-per-host SPMD, the same discipline
+    ``multihost_dryrun`` certifies). Fully-addressable (single-process)
+    and fully-replicated arrays take the direct path, costing nothing new.
+    """
+    if (
+        isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _maybe_sync(x) -> None:
     if _SYNC:
-        np.asarray(jax.tree_util.tree_leaves(x)[0])
+        _np_fetch(jax.tree_util.tree_leaves(x)[0])
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +436,7 @@ class ServeRequest:
         access (the serving hot path never pays the host transfer)."""
         if self._codes_np is None and self._codes_ref is not None:
             arr, b, end = self._codes_ref
-            self._codes_np = np.asarray(arr[b])[:end]
+            self._codes_np = _np_fetch(arr[b])[:end]
             self._codes_ref = None
         return self._codes_np
 
@@ -442,7 +466,7 @@ class ServeRequest:
             raise self.error
         if self.cancelled:
             raise RuntimeError("request was cancelled")
-        return np.asarray(self.wav), int(self.sample_rate)
+        return _np_fetch(self.wav), int(self.sample_rate)
 
     def add_done_callback(self, fn) -> None:
         """Call ``fn(self)`` when the request resolves (success, error, or
@@ -934,7 +958,7 @@ class ServingEngine:
         rows advance by their own acceptance counts."""
         harvest_dev, owners = pending
         with profiling.stage("serve/harvest"):
-            hv = np.asarray(harvest_dev)  # (B, 2) int32
+            hv = _np_fetch(harvest_dev)  # (B, 2) int32
 
         retire: List[int] = []
         emits: List[Tuple[int, int, int, int]] = []
@@ -981,7 +1005,7 @@ class ServingEngine:
             return self._harvest_one_spec(pending)
         done_dev, owners = pending
         with profiling.stage("serve/harvest"):
-            dones = np.asarray(done_dev)
+            dones = _np_fetch(done_dev)
 
         retire: List[int] = []
         emits: List[Tuple[int, int, int, int]] = []  # (row, lo, hi, emit_from)
@@ -1069,7 +1093,7 @@ class ServingEngine:
         """Model hook: extract (and fetch) one emitted piece from a vocoded
         window covering frames ``[lo, hi)``."""
         hop = self.cfg.codec.hop
-        return np.asarray(wav_row[(emit_from - lo) * hop : (emit_to - lo) * hop])
+        return _np_fetch(wav_row[(emit_from - lo) * hop : (emit_to - lo) * hop])
 
     def _retire(self, rows: List[int]) -> None:
         """Trim and (bucket-)vocode finished rows straight from the device

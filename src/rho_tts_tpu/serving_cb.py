@@ -56,7 +56,7 @@ from .models.chatterbox.model import (
 )
 from .models.qwen.model import _round_up
 from .ops.watermark import _ENV_WINDOW, apply_watermark
-from .serving import ServeRequest, ServingEngine, _insert_rows, _maybe_sync
+from .serving import ServeRequest, ServingEngine, _insert_rows, _maybe_sync, _np_fetch
 
 logger = logging.getLogger(__name__)
 
@@ -583,7 +583,7 @@ class ChatterboxServingEngine(ServingEngine):
     def _stream_piece(self, wav_row, lo: int, hi: int, emit_from: int, emit_to: int):
         hop = self.cfg.codec.hop
         marked = apply_watermark(wav_row[: (hi - lo) * hop], offset=lo * hop)
-        return np.asarray(marked[(emit_from - lo) * hop : (emit_to - lo) * hop])
+        return _np_fetch(marked[(emit_from - lo) * hop : (emit_to - lo) * hop])
 
     def _retire_vocode(self, rows_arr, ends_arr, t: int):
         return _cb_vocode_rows(

@@ -28,10 +28,12 @@ def test_default_mesh_shape_prefers_tp4():
 
 
 @pytest.mark.slow
-def test_two_process_dp_decode_bit_exact():
+def test_two_process_dp_decode_and_serving_bit_exact():
     """The full rendezvous: 2 processes × 4 virtual devices, global
-    8-way DP decode, every process's gathered tokens == the unmeshed
-    single-device run. ~60-90 s (two fresh interpreters + compiles)."""
+    8-way DP decode AND the ServingEngine with slot rows sharded across
+    the processes — every process's gathered tokens/codes == a
+    process-local single-controller run. Minutes (two fresh interpreters
+    + engine compiles); deselected by default via the ``slow`` marker."""
     from rho_tts_tpu.parallel.multihost_dryrun import run_dryrun
 
     reports = run_dryrun(n_processes=2, local_devices=4)
@@ -40,5 +42,6 @@ def test_two_process_dp_decode_bit_exact():
     for line in reports:
         assert line.startswith("OK"), line
         assert "procs=2" in line and "devices=8" in line
-        checksums.add(line.rsplit("checksum=", 1)[1])
+        assert "serve=OK" in line and "serve_slots=8" in line
+        checksums.add(line.rsplit("serve_checksum=", 1)[1])
     assert len(checksums) == 1  # both processes saw the same global result
