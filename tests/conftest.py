@@ -21,6 +21,47 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+def _machine_scoped_cache_dir():
+    """Persistent XLA compile cache keyed to THIS machine's CPU.
+
+    The suite is compile-bound on a 1-core host (a cold run is ~1 h; a
+    warm one minutes), so caching pays enormously — but CPU AOT
+    artifacts embed host ISA features and can SIGILL if replayed on a
+    different machine, which is why the generic /root/.jax_cache is
+    TPU-only (see __graft_entry__). Scoping the directory by a hash of
+    the CPU model + feature flags + jax version makes reuse safe: a
+    different machine simply sees an empty cache. Opt out with
+    RHO_TTS_TPU_TEST_NO_COMPILE_CACHE=1 (e.g. when bisecting compiler
+    issues).
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+        model = ""
+        flags = ""
+        for line in info.splitlines():
+            if line.startswith("model name") and not model:
+                model = line
+            elif line.startswith("flags") and not flags:
+                flags = line
+        key = hashlib.sha256(
+            f"{model}|{flags}|{jax.__version__}".encode()
+        ).hexdigest()[:16]
+    except OSError:  # pragma: no cover — no /proc (non-Linux)
+        return None
+    return os.path.expanduser(f"~/.cache/rho_tts_tpu/xla_cpu_{key}")
+
+
+if not os.environ.get("RHO_TTS_TPU_TEST_NO_COMPILE_CACHE"):
+    _cache_dir = _machine_scoped_cache_dir()
+    if _cache_dir:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
