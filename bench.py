@@ -769,7 +769,66 @@ def bench_coldstart():
     }))
 
 
-def _ensure_distilled_draft(target, preset, top_k, temperature):
+def _train_structured_target(preset, quant, steps):
+    """Train the preset-arch model on a deterministic cyclic code task.
+
+    Speculative acceptance is a property of the WEIGHTS: on random
+    weights the target's top-k sampler is a near-arbitrary function no
+    smaller draft can match (BASELINE 5sv's honest negative), where real
+    speech-token LMs are highly predictable. No egress means no real
+    checkpoint, so this makes the target predictable the way the
+    VERDICT suggested: briefly train it on a synthetic structured
+    speech-token task — primary code follows ``(a + 3·t) mod K`` on a
+    64-symbol alphabet, residual books are fixed shifts of the primary —
+    until its sampler concentrates. Training runs fully on device
+    (adafactor: factored second moments, so the 1.7B fits one chip where
+    AdamW's fp32 moments would not — cf. BASELINE 5L) and the trained
+    tree is quantized on device; no weight bytes ever cross the relay.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from rho_tts_tpu.models.qwen.config import PRESETS
+    from rho_tts_tpu.models.qwen.model import QwenTTSModel, init_params
+    from rho_tts_tpu.models.qwen.train import train_step
+
+    cfg = PRESETS[preset]
+    params = jax.jit(init_params, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adafactor(
+        learning_rate=float(os.environ.get("BENCH_STRUCT_LR", "3e-3"))
+    )
+    opt_state = optimizer.init(params)
+
+    k_alpha = min(64, cfg.codec.codebook_size)
+    stride = 3
+    b, tt, tc = 8, 8, 128
+    nq = cfg.codec.n_codebooks
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for step in range(steps):
+        a = rng.integers(0, k_alpha, size=(b, 1))
+        prim = (a + stride * np.arange(tc)[None, :]) % k_alpha
+        codes = np.stack(
+            [(prim + q) % k_alpha for q in range(nq)], axis=-1
+        ).astype(np.int32)
+        batch = {
+            "text_ids": jnp.asarray(
+                rng.integers(0, cfg.text_vocab, size=(b, tt)), jnp.int32
+            ),
+            "codes": jnp.asarray(codes),
+            "codes_mask": jnp.ones((b, tc), bool),
+        }
+        params, opt_state, loss = train_step(params, opt_state, batch, cfg, optimizer)
+        if step % 100 == 0 or step == steps - 1:
+            log(f"structured target: step {step} loss {float(loss):.4f}")
+    log(f"structured target: {steps} steps in {time.time()-t0:.0f}s")
+    del opt_state
+    return QwenTTSModel(cfg, params=params, quantization=quant)
+
+
+def _ensure_distilled_draft(target, preset, top_k, temperature, tag=""):
     """Build (once) or restore the distilled speculation draft for a target.
 
     The draft preset is the flagship-ratio pair of the target (a serving
@@ -789,7 +848,7 @@ def _ensure_distilled_draft(target, preset, top_k, temperature):
     if dname is None:
         raise SystemExit(f"no draft preset paired with target preset {preset}")
     steps = int(os.environ.get("BENCH_SPEC_DISTILL_STEPS", "600"))
-    ckpt_dir = f"/tmp/bench_ckpt_{dname}_distilled_s{steps}_k{top_k}"
+    ckpt_dir = f"/tmp/bench_ckpt_{dname}_distilled{tag}_s{steps}_k{top_k}"
     if ckpt_lib.is_native_checkpoint(ckpt_dir):
         t0 = time.time()
         draft = QwenTTSModel.from_pretrained(ckpt_dir)
@@ -848,12 +907,19 @@ def bench_serve():
     top_k = 4
     temperature = 0.9
 
+    structured = os.environ.get("BENCH_STRUCTURED", "0") == "1"
     t0 = time.time()
-    model = QwenTTSModel.from_pretrained(_ensure_bench_checkpoint(preset, quant))
-    log(f"serve: restore {preset} quant={quant} in {time.time()-t0:.1f}s")
+    if structured:
+        struct_steps = int(os.environ.get("BENCH_STRUCT_STEPS", "600"))
+        model = _train_structured_target(preset, quant, struct_steps)
+        tag = f"_struct{struct_steps}"
+    else:
+        model = QwenTTSModel.from_pretrained(_ensure_bench_checkpoint(preset, quant))
+        log(f"serve: restore {preset} quant={quant} in {time.time()-t0:.1f}s")
+        tag = ""
     frame_rate = model.config.codec.frame_rate
     draft = (
-        _ensure_distilled_draft(model, preset, top_k, temperature)
+        _ensure_distilled_draft(model, preset, top_k, temperature, tag=tag)
         if spec else None
     )
 
@@ -917,7 +983,10 @@ def bench_serve():
         log(f"serve spec: non-speculative comparison {rtf_ns:.1f}x → "
             f"speculation speedup {rtf / rtf_ns:.2f}x at realized acceptance")
         print(json.dumps({
-            "metric": f"serving_spec_gamma{gamma}_aggregate_rtf_per_chip",
+            "metric": (
+                f"serving_spec{'_structured' if structured else ''}"
+                f"_gamma{gamma}_aggregate_rtf_per_chip"
+            ),
             "value": round(rtf, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtf / rtf_ns, 3),
