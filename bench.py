@@ -803,7 +803,12 @@ def _train_structured_target(preset, quant, steps):
 
     k_alpha = min(64, cfg.codec.codebook_size)
     stride = 3
-    b, tt, tc = 8, 8, 128
+    # tt matches the serve workload's ~54-token prompts (64-slot bucket):
+    # prompt keys stay in the attention window for the whole generation,
+    # so a target trained on 8-token prompts goes DIFFUSE on 64-token
+    # ones (measured: 95% vs 8% stride adherence) and no draft can match
+    # a diffuse random function — acceptance floors.
+    b, tt, tc = 8, 64, 128
     nq = cfg.codec.n_codebooks
     rng = np.random.default_rng(0)
     t0 = time.time()
@@ -848,7 +853,9 @@ def _ensure_distilled_draft(target, preset, top_k, temperature, tag=""):
     if dname is None:
         raise SystemExit(f"no draft preset paired with target preset {preset}")
     steps = int(os.environ.get("BENCH_SPEC_DISTILL_STEPS", "600"))
-    ckpt_dir = f"/tmp/bench_ckpt_{dname}_distilled{tag}_s{steps}_k{top_k}"
+    # "c2": cache epoch for the serve-shaped distill corpus (old caches
+    # were distilled on short make_corpus sentences — incompatible).
+    ckpt_dir = f"/tmp/bench_ckpt_{dname}_distilled_c2{tag}_s{steps}_k{top_k}"
     if ckpt_lib.is_native_checkpoint(ckpt_dir):
         t0 = time.time()
         draft = QwenTTSModel.from_pretrained(ckpt_dir)
@@ -859,9 +866,17 @@ def _ensure_distilled_draft(target, preset, top_k, temperature, tag=""):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     draft = QwenTTSModel(PRESETS[dname], seed=1)
     t0 = time.time()
+    # Acceptance is prompt-distribution-dependent (prompt keys stay in
+    # the attention window for the whole generation), so distill on
+    # serve-workload-shaped prompts — same template as bench_serve's
+    # requests, disjoint indices.
+    corpus = [
+        f"Serving request number {i} with a ragged target length."
+        for i in range(100, 164)
+    ]
     stats = distill_draft(
         target, draft, steps=steps, learning_rate=2e-3,
-        top_k=top_k, temperature=temperature,
+        top_k=top_k, temperature=temperature, texts=corpus,
     )
     log(f"spec draft: distilled {dname} in {time.time()-t0:.0f}s — "
         f"loss {stats['loss']:.3f}, acceptance-overlap {stats['overlap']:.3f}")

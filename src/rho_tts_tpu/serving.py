@@ -596,7 +596,19 @@ class ServingEngine:
         if draft_model is None:
             self.ring = self.max_prompt + self.max_frames + self.chunk
         else:
-            self.ring = self.max_prompt + self.max_frames + 3 * (self.gamma + 1)
+            # Rounds per dispatch: a speculative round harvests only
+            # ~accepted-frames, so per-dispatch host overhead weighs far
+            # heavier than in the fixed-step chunk; scanning k rounds in
+            # one program amortizes it (serving_spec._spec_serve_rounds).
+            self.spec_k = max(
+                1, int(_os.environ.get("RHO_TTS_TPU_SPEC_ROUNDS", "4"))
+            )
+            # A row can overshoot its frame budget by up to two lagged
+            # dispatches of k rounds before the host retires it.
+            self.ring = (
+                self.max_prompt + self.max_frames
+                + (2 * self.spec_k + 1) * (self.gamma + 1)
+            )
 
         # Mesh serving: slot rows shard over 'data', KV heads over 'model'
         # (the same layout as the one-shot TP/DP paths); everything else —
@@ -950,15 +962,16 @@ class ServingEngine:
             self._harvest_one(pending)
 
     def _harvest_one_spec(self, pending) -> None:
-        """Harvest one speculative round: per-row real-frame counts + EOS.
+        """Harvest one speculative dispatch: per-row real-frame counts + EOS.
 
-        The packed (B, 2) [n_real, hit_eos] array is the round's only
-        device→host transfer (lagged, same overlap as the non-speculative
-        done bitmap). Frame accounting differs from the fixed-step chunk:
-        rows advance by their own acceptance counts."""
+        The packed (k, B, 2) [n_real, hit_eos] array is the dispatch's
+        only device→host transfer (lagged, same overlap as the
+        non-speculative done bitmap). Post-EOS rounds inside the k-scan
+        contribute zero real frames (``live`` masking), so summing the
+        rounds and OR-ing the EOS bits recovers exact per-row totals."""
         harvest_dev, owners = pending
         with profiling.stage("serve/harvest"):
-            hv = _np_fetch(harvest_dev)  # (B, 2) int32
+            hv = _np_fetch(harvest_dev)  # (k, B, 2) int32
 
         retire: List[int] = []
         emits: List[Tuple[int, int, int, int]] = []
@@ -967,7 +980,8 @@ class ServingEngine:
             slot = self._slots[row]
             if req is None or slot.req is not req:
                 continue
-            n_real, eos = int(hv[row, 0]), bool(hv[row, 1])
+            n_real = int(hv[:, row, 0].sum())
+            eos = bool(hv[:, row, 1].any())
             if slot.done_seen is None:
                 slot.frames += n_real
                 self.frames_decoded += n_real
@@ -1173,14 +1187,14 @@ class ServingEngine:
         return the lagged-harvest payload (a small device array the host
         fetches one round later)."""
         if self.draft is not None:
-            from .serving_spec import _spec_serve_round
+            from .serving_spec import _spec_serve_rounds
 
             (harvest,
              self._cache_k, self._cache_v, self._key_valid,
              self._d_cache_k, self._d_cache_v, self._d_key_valid,
              self._codes_buf, self._last_codes, self._done,
              self._spec_cols, self._rope_next,
-             self._frames_done) = _spec_serve_round(
+             self._frames_done) = _spec_serve_rounds(
                 self.model.params, self.draft.params,
                 self._cache_k, self._cache_v, self._key_valid,
                 self._d_cache_k, self._d_cache_v, self._d_key_valid,
@@ -1191,8 +1205,9 @@ class ServingEngine:
                 self._active_dev, self._seeds, self._temp,
                 self._frames_done, self._min_frames,
                 self.gamma, self.top_k, self.residual_mode,
+                self.spec_k,
             )
-            self.spec_rounds += 1
+            self.spec_rounds += self.spec_k
             return harvest
         (done_chunk, self._cache_k, self._cache_v,
          self._key_valid, self._codes_buf, self._last_codes,

@@ -124,12 +124,7 @@ def _uniform_rows(seeds, frames, tag: int) -> jnp.ndarray:
     return u.reshape(shape)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg_t", "cfg_d", "gamma", "top_k", "residual_mode"),
-    donate_argnums=(2, 3, 4, 5, 6, 7, 8),
-)
-def _spec_serve_round(
+def _spec_round_body(
     tp: Params,
     dp: Params,
     t_ck, t_cv, t_kv,  # target ring caches (L,B,S,h,d) ×2 + key_valid (B,S)
@@ -339,6 +334,86 @@ def _spec_serve_round(
     harvest = jnp.stack([n_real, hit_eos.astype(jnp.int32)], axis=1)  # (B, 2)
     return (
         harvest,
+        t_ck, t_cv, t_kv,
+        d_ck, d_cv, d_kv,
+        codes_buf,
+        last_codes,
+        done,
+        cols,
+        rope_next,
+        frames_done,
+    )
+
+
+_spec_serve_round = partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "gamma", "top_k", "residual_mode"),
+    donate_argnums=(2, 3, 4, 5, 6, 7, 8),
+)(_spec_round_body)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "gamma", "top_k", "residual_mode", "k"),
+    donate_argnums=(2, 3, 4, 5, 6, 7, 8),
+)
+def _spec_serve_rounds(
+    tp: Params,
+    dp: Params,
+    t_ck, t_cv, t_kv,
+    d_ck, d_cv, d_kv,
+    codes_buf,
+    cfg_t,
+    cfg_d,
+    cols,
+    rope_next,
+    last_codes,
+    done,
+    active,
+    seeds,
+    temperature,
+    frames_done,
+    min_frames,
+    gamma: int,
+    top_k: int,
+    residual_mode: str,
+    k: int,
+):
+    """``k`` draft/verify rounds fused into ONE compiled program.
+
+    A speculative round harvests ~accepted-frames per dispatch where the
+    non-speculative chunk harvests ``steps`` frames, so per-dispatch host
+    overhead (Python + device→host round trip; tens of ms on
+    relay-attached hosts) weighs ~an-order-of-magnitude heavier per
+    frame. Scanning ``k`` rounds inside one program amortizes it the
+    same way the decode chunk does: one dispatch, one lagged (k, B, 2)
+    harvest fetch. Rows that finish mid-scan ride along masked
+    (``live = active & ~done``), exactly like EOS rows inside a chunk.
+    """
+
+    def body(carry, _):
+        (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+         cols, rope_next, last_codes, done, frames_done) = carry
+        (harvest, t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+         last_codes, done, cols, rope_next, frames_done) = _spec_round_body(
+            tp, dp, t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+            cfg_t, cfg_d, cols, rope_next, last_codes, done,
+            active, seeds, temperature, frames_done, min_frames,
+            gamma, top_k, residual_mode,
+        )
+        return (
+            (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+             cols, rope_next, last_codes, done, frames_done),
+            harvest,
+        )
+
+    carry0 = (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+              cols, rope_next, last_codes, done, frames_done)
+    carry, harvests = jax.lax.scan(body, carry0, None, length=k)
+    (t_ck, t_cv, t_kv, d_ck, d_cv, d_kv, codes_buf,
+     cols, rope_next, last_codes, done, frames_done) = carry
+    return (
+        harvests,  # (k, B, 2)
         t_ck, t_cv, t_kv,
         d_ck, d_cv, d_kv,
         codes_buf,
