@@ -17,6 +17,30 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+def _tune_glibc_malloc():
+    """Route large allocations through mmap so frees return to the OS.
+
+    The compile-heavy suite fragments the main heap: freed XLA scratch
+    lands under long-lived small objects, malloc_trim can only shave the
+    heap top, and retention COMPOUNDS across modules (measured ~0.05
+    GB/module early, 2-7 GB/module by mid-suite; one full run was
+    OOM-killed at 130 GB with only ~10 MB of live jax arrays).
+    M_MMAP_THRESHOLD=128 KB makes every sizable block its own mapping —
+    freed memory unmaps immediately, so the heap cannot fragment into
+    the tens of GB. Must run before the backend's first big allocation.
+    """
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 131072)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 131072)  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover — non-glibc hosts
+        pass
+
+
+_tune_glibc_malloc()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -87,6 +111,18 @@ def _bound_jax_executable_memory(request):
     """
     yield
     jax.clear_caches()
+    if not os.environ.get("RHO_TTS_TPU_TEST_NO_CLEAR_BACKENDS"):
+        # Drop the PJRT CPU client too. Runtime-retained memory (not
+        # live arrays — those measured ~10 MB) compounds across the
+        # 64-module suite: one full run was OOM-killed at 130 GB, and
+        # clear_caches + malloc_trim + mmap-threshold tuning only slowed
+        # the growth. A fresh client starts empty; the old one frees
+        # once its last live array is collected (old arrays stay usable
+        # until then). Measured: a heavy 3-module sequence holds 0.3 GB
+        # with this vs ~15 GB mid-suite without.
+        import jax.extend.backend as _xb
+
+        _xb.clear_backends()
     import gc
 
     gc.collect()
@@ -94,5 +130,10 @@ def _bound_jax_executable_memory(request):
     if os.environ.get("RHO_TTS_TPU_TEST_RSS_LOG"):
         with open("/proc/self/statm") as f:
             rss_gb = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+        live = jax.live_arrays()
+        live_gb = sum(a.size * a.dtype.itemsize for a in live) / 1e9
         with open(os.environ["RHO_TTS_TPU_TEST_RSS_LOG"], "a") as f:
-            f.write(f"{rss_gb:.2f} GB after {request.node.nodeid}\n")
+            f.write(
+                f"{rss_gb:.2f} GB rss, {live_gb:.2f} GB in {len(live)} live "
+                f"arrays after {request.node.nodeid}\n"
+            )

@@ -12,6 +12,13 @@ from rho_tts_tpu.isolation.procman import MAX_RESTARTS, WorkerProcess
 def make_proc(responses=None):
     proc = MagicMock()
     proc.poll.return_value = None  # alive
+    # The stderr-forwarder daemon thread loops `iter(readline, "")`; a
+    # bare MagicMock returns a fresh truthy Mock per call, so the thread
+    # would spin for the REST of the pytest process — burning the single
+    # CPU and growing the mock's call history without bound (this was
+    # the suite's mystery memory leak: ~8 spinning threads retained tens
+    # of GB and slowed every later module). EOF immediately instead.
+    proc.stderr.readline.return_value = ""
     if responses is not None:
         proc.stdout.readline.side_effect = responses
     return proc
