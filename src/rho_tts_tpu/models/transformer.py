@@ -489,30 +489,42 @@ def stack_forward(
     return x, (ks, vs)
 
 
-def kv_cache_dtype():
+def kv_cache_dtype(batch=None, max_len=None):
     """KV-cache storage dtype, env-selectable (``RHO_TTS_TPU_KV_DTYPE``).
 
-    ``bf16`` (default) or ``f8`` (float8_e4m3fn). fp8 STORAGE-ONLY
-    quantization halves per-step KV HBM reads with no scale bookkeeping:
-    writes already cast to the cache dtype and the attention einsums
-    upcast in-register (bf16 caches → f32; f8 caches → bf16 so the dots
-    stay native MXU ops, see ``_kv_compute_dtype``), so the convert
-    fuses into the reads. The
-    KV read is ~15-25% of a decode step's HBM traffic at serving batch
-    sizes (weights dominate), so this is a capacity/bandwidth lever, not
-    a large speedup — measured numbers in BASELINE.md. e4m3 carries ~2
-    significant digits; greedy decode token sequences can diverge from
-    the bf16 cache (quality-sensitive gates should keep the default).
+    ``bf16`` (default), ``f8`` (float8_e4m3fn), or ``auto``. fp8
+    STORAGE-ONLY quantization halves per-step KV HBM reads with no scale
+    bookkeeping: writes already cast to the cache dtype and the
+    attention einsums upcast in-register (bf16 caches → f32; f8 caches →
+    bf16 so the dots stay native MXU ops, see ``_kv_compute_dtype``), so
+    the convert fuses into the reads.
+
+    The win is SHAPE-DEPENDENT (BASELINE 5k8, re-measured r5 after the
+    bf16-dots fix): f8 pays when the KV read is a large share of step
+    HBM traffic — batch 16×384 +23%, batch 5×512 +23% — but at small
+    shapes XLA's f8 read path costs more than the bandwidth it saves
+    (batch 5×256: −27%). ``auto`` applies exactly that boundary: f8
+    when ``batch × max_len ≥ RHO_TTS_TPU_KV_AUTO_THRESHOLD`` (default
+    2048 rows×frames, between the measured 1280-loss and 2560-win
+    points), bf16 below. ``auto`` stays opt-in because e4m3 carries ~2
+    significant digits — greedy token sequences can diverge from the
+    bf16 cache, and a QUALITY property should not flip silently with
+    batch shape (quality-sensitive gates keep the default).
     """
     name = _os.environ.get("RHO_TTS_TPU_KV_DTYPE", "bf16")
+    if name == "auto":
+        if batch is None or max_len is None:
+            return jnp.bfloat16  # no shape at hand — conservative
+        threshold = int(_os.environ.get("RHO_TTS_TPU_KV_AUTO_THRESHOLD", "2048"))
+        return jnp.float8_e4m3fn if batch * max_len >= threshold else jnp.bfloat16
     table = {"bf16": jnp.bfloat16, "f8": jnp.float8_e4m3fn, "fp8": jnp.float8_e4m3fn}
     if name not in table:
-        raise ValueError(f"RHO_TTS_TPU_KV_DTYPE={name!r}; expected bf16|f8")
+        raise ValueError(f"RHO_TTS_TPU_KV_DTYPE={name!r}; expected bf16|f8|auto")
     return table[name]
 
 
 def make_kv_cache(cfg: TransformerConfig, batch: int, max_len: int, dtype=None):
     if dtype is None:
-        dtype = kv_cache_dtype()
+        dtype = kv_cache_dtype(batch, max_len)
     shape = (cfg.layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -86,3 +86,20 @@ def test_f8_serving_runs(f8_env):
     eng.run_until_idle()
     wav, _sr = req.result(timeout=60)
     assert np.isfinite(wav).all() and wav.size >= 8 * model.config.codec.hop
+
+
+def test_auto_dtype_shape_heuristic(monkeypatch):
+    """auto: f8 iff batch x max_len clears the measured win boundary."""
+    monkeypatch.setenv("RHO_TTS_TPU_KV_DTYPE", "auto")
+    assert tfm.kv_cache_dtype(5, 256) == jnp.bfloat16  # 1280: measured loss
+    assert tfm.kv_cache_dtype(5, 512) == jnp.float8_e4m3fn  # 2560: measured win
+    assert tfm.kv_cache_dtype(16, 384) == jnp.float8_e4m3fn
+    assert tfm.kv_cache_dtype() == jnp.bfloat16  # no shape -> conservative
+    monkeypatch.setenv("RHO_TTS_TPU_KV_AUTO_THRESHOLD", "1000")
+    assert tfm.kv_cache_dtype(5, 256) == jnp.float8_e4m3fn
+    ck, _cv = tfm.make_kv_cache(
+        tfm.TransformerConfig(hidden=32, layers=1, q_heads=2, kv_heads=1,
+                              head_dim=16, ffn=64),
+        5, 256,
+    )
+    assert ck.dtype == jnp.float8_e4m3fn
