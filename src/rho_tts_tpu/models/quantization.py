@@ -42,11 +42,33 @@ def _w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     x (…, T, in) is quantized per row (symmetric absmax → int8), the dot
     accumulates in int32 on the MXU, and the result is rescaled by
     (row_scale × per-output-channel weight scale) in f32.
+
+    ``RHO_TTS_TPU_W8A8_KERNEL=1`` routes the dot + rescale through a
+    Pallas kernel with the int32 accumulator in VMEM
+    (``ops.pallas.w8a8_matmul``) — measured SLOWER than this XLA path
+    end-to-end (see the kernel's ``kernel_available`` for the A/B), so
+    it stays opt-in. Identical math either way — the XLA expression
+    below is the kernel's test oracle.
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # (…, T, 1)
     sx = jnp.maximum(amax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    from ..ops.pallas import w8a8_matmul as w8k
+
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    k_dim, n = q.shape
+    if w8k.kernel_available() and w8k.shapes_ok(m, k_dim, n):
+        y = w8k.w8a8_matmul_kernel(
+            xq.reshape(m, k_dim), sx.reshape(m, 1).astype(jnp.float32),
+            q, s.astype(jnp.float32), x.dtype,
+        )
+        return y.reshape(*lead, n)
+
     acc = jax.lax.dot_general(
         xq, q,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

@@ -192,3 +192,46 @@ def test_int4_model_decode_runs():
     waves, sr = model.synthesize(["int four nibble weights"], speaker="Vivian", min_frames=8)
     assert waves[0].shape[-1] > 0
     assert np.isfinite(np.asarray(waves[0])).all()
+
+
+class TestW8A8Kernel:
+    """Pallas w8a8 kernel (fused int8 dot + rescale) vs the XLA oracle."""
+
+    def test_kernel_matches_xla_oracle(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rho_tts_tpu.models.quantization import quantize_weight
+        from rho_tts_tpu.ops.pallas import w8a8_matmul as w8k
+
+        m, k, n = 256, 256, 512
+        x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+        qw = quantize_weight(w)
+
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        ref = (
+            jax.lax.dot_general(
+                xq, qw["q"], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * sx * qw["s"]
+        ).astype(x.dtype)
+
+        out = w8k.w8a8_matmul_kernel(
+            xq, sx.astype(jnp.float32), qw["q"], qw["s"].astype(jnp.float32),
+            x.dtype, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    def test_shapes_ok_gates(self):
+        from rho_tts_tpu.ops.pallas import w8a8_matmul as w8k
+
+        assert w8k.shapes_ok(4096, 2048, 6144)
+        assert w8k.shapes_ok(4096, 6144, 2048)
+        assert not w8k.shapes_ok(100, 2048, 6144)  # ragged M
+        assert not w8k.shapes_ok(256, 130, 512)  # K not 128-aligned
