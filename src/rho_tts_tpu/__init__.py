@@ -30,7 +30,7 @@ Context manager::
         result = tts.generate("Hello world!", "output.wav")
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from .cancellation import CancellationToken, CancelledException
 from .engine import BaseTTS
