@@ -8,7 +8,9 @@ reference's hot loop (``/root/reference/src/rho_tts/base_tts.py:770-898``)
 with the framework's two biggest levers combined: continuous batching and
 speculation.
 
-Design (one compiled program per round, zero host syncs):
+Design (``RHO_TTS_TPU_SPEC_ROUNDS`` rounds — default 4 — scanned into
+ONE compiled program per dispatch, zero host syncs; a single round's
+structure below):
 
 * **Draft phase** — the draft model decodes ``gamma+1`` single-token steps
   over the whole slot batch into its OWN ring cache (same ring design as

@@ -252,3 +252,27 @@ class TestSpecValidation:
         for r in reqs:
             assert r.done()
             assert r.n_frames >= 1
+
+
+class TestRoundsPerDispatch:
+    def test_results_invariant_to_spec_rounds(self, target, draft_other,
+                                              monkeypatch):
+        """k rounds scanned into one dispatch must emit the SAME codes as
+        one-round-per-dispatch — the scan changes dispatch granularity,
+        not math (per-row (seed, frame) keys are schedule-independent)."""
+        outs = {}
+        for k in ("1", "3"):
+            monkeypatch.setenv("RHO_TTS_TPU_SPEC_ROUNDS", k)
+            eng = ServingEngine(
+                target, n_slots=2, max_prompt=64, max_frames=64, top_k=4,
+                draft_model=draft_other, gamma=4, residual_mode="draft",
+            )
+            reqs = [
+                eng.submit(t, min_frames=8, max_frames=64, seed=i,
+                           temperature=0.9)
+                for i, t in enumerate(TEXTS[:2])
+            ]
+            eng.run_until_idle()
+            outs[k] = [np.asarray(r.codes) for r in reqs]
+        for a, b in zip(outs["1"], outs["3"]):
+            np.testing.assert_array_equal(a, b)
